@@ -1,0 +1,219 @@
+"""Tumbling / sliding / session window operators and the on-demand view.
+
+Spark-first rebuild of the reference's window semantics (SURVEY.md §2
+Table A):
+
+- bucket assignment (A4) is ``F.window(ts, length[, slide])`` — O(1)
+  arithmetic per row inside whole-stage codegen, no scheduler;
+- per-bucket metadata (A12/A15) is ``count/min/max`` aggregates with
+  map-side partial aggregation;
+- ordered content retrieval (A8/A13, the per-turn-text-equality invariant)
+  is ``sort_array(collect_list(struct(ts, order, payload...)))`` *inside the
+  group* — sorting N small arrays, never a global sort;
+- the on-demand bucketed view (A8) is a range filter (predicate pushdown /
+  partition pruning does the file skipping the reference's
+  ``filterListForTimestampRange`` did by hand) + tumbling bucketing + a
+  left join against a generated bucket spine so empty buckets appear, as the
+  reference's view guarantees (OnDemandBucketedWindow.kt:104-121).
+
+Boundary parity (SURVEY.md §1.2 note (b)): reference buckets are inclusive
+``[start, start + len − 1ns]`` with the next bucket starting 1 ns later;
+Spark windows are half-open ``[start, start + len)``. At µs timestamp
+resolution these partitions are identical, which tests/test_windows.py
+asserts on exact-boundary rows.
+
+All functions are generic over (ts column, key columns, payload columns) so
+the same operators serve the transcript schema and the driver's ``events``
+table.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.config import ViewArgs, interval_str
+
+
+def _content_col(ts_col: str, order_cols: Sequence[str], payload_cols: Sequence[str]) -> Column:
+    """Array of payload structs in stable (ts, *order_cols) order.
+
+    Struct comparison is lexicographic by field position, so placing ts and
+    the tiebreakers first makes sort_array produce the reference's stable
+    ordering (reference comparator OnDemandBucketedWindow.kt:56-57,
+    generalized to (ts, turn_idx) per SURVEY.md §1.2 note (c)).
+    """
+    fields = [F.col(ts_col).alias("__ts")]
+    fields += [F.col(c).alias(f"__o_{c}") for c in order_cols]
+    fields += [F.col(c) for c in payload_cols]
+    return F.sort_array(F.collect_list(F.struct(*fields)))
+
+
+def _std_aggs(ts_col: str) -> list[Column]:
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    length: timedelta,
+    slide: timedelta | None = None,
+    keys: Sequence[str] = (),
+    extra_aggs: Sequence[Column] = (),
+    content_payload: Sequence[str] | None = None,
+    order_cols: Sequence[str] = (),
+    origin: datetime | None = None,
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding window aggregation.
+
+    Returns window_start, window_end, *keys, n_rows, first_ts, last_ts
+    [, content] [, extra aggs]. The plan is a single hash aggregation with
+    partial (map-side) combine; no extra shuffle beyond the group-by.
+
+    ``origin`` shifts bucket boundaries so they align to that instant
+    instead of the Unix epoch (F.window's startTime offset) — required by
+    the on-demand view, whose buckets start at the caller's ``start``.
+    """
+    slide_td = slide if slide is not None else length
+    if origin is not None:
+        offset_us = round(
+            (origin - datetime(1970, 1, 1)).total_seconds() * 1e6
+        ) % round(slide_td.total_seconds() * 1e6)
+        win = F.window(
+            ts_col,
+            interval_str(length),
+            interval_str(slide_td),
+            f"{offset_us} microseconds",
+        )
+    elif slide is None:
+        win = F.window(ts_col, interval_str(length))
+    else:
+        win = F.window(ts_col, interval_str(length), interval_str(slide))
+    aggs = _std_aggs(ts_col)
+    if content_payload is not None:
+        aggs.append(_content_col(ts_col, order_cols, content_payload).alias("content"))
+    aggs.extend(extra_aggs)
+    out = df.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[c for c in out.columns if c != "window" and c not in keys],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: timedelta,
+    keys: Sequence[str] = (),
+    extra_aggs: Sequence[Column] = (),
+    content_payload: Sequence[str] | None = None,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Session window aggregation via built-in F.session_window.
+
+    session start = first event ts, session end = last event ts + gap
+    (Spark semantics; the DuckDB oracle replicates this with a gap-based
+    island computation — see __spark_entry__.oracle_sql).
+    """
+    win = F.session_window(ts_col, interval_str(gap))
+    aggs = _std_aggs(ts_col)
+    if content_payload is not None:
+        aggs.append(_content_col(ts_col, order_cols, content_payload).alias("content"))
+    aggs.extend(extra_aggs)
+    out = df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *[F.col(k) for k in keys],
+        *[c for c in out.columns if c != "session" and c not in keys],
+    )
+
+
+def bucket_spine(
+    spark: SparkSession, args: ViewArgs
+) -> DataFrame:
+    """Tiny DataFrame of the view's bucket boundaries [start, end).
+
+    n_buckets rows — broadcast-sized by construction; used so empty buckets
+    appear in the on-demand view exactly as the reference returns empty
+    Bucket objects (OnDemandBucketedWindow.kt:104-121).
+    """
+    bucket_us = round(args.resolved_bucket.total_seconds() * 1e6)
+    start_lit = F.lit(args.resolved_start)
+    return spark.range(args.n_buckets).select(
+        F.timestamp_micros(
+            F.unix_micros(start_lit) + F.col("id") * F.lit(bucket_us)
+        ).alias("bucket_start"),
+        F.timestamp_micros(
+            F.unix_micros(start_lit) + (F.col("id") + 1) * F.lit(bucket_us)
+        ).alias("bucket_end"),
+    )
+
+
+def on_demand_view(
+    df: DataFrame,
+    args: ViewArgs,
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    content_payload: Sequence[str] | None = None,
+    order_cols: Sequence[str] = (),
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """On-demand tumbling-bucketed view (reference A8) as a batch query.
+
+    Pipeline: range filter (pushed to the scan) → tumbling bucket agg →
+    right join onto the bucket spine so every bucket in [start, start+length)
+    exists even when empty (empty buckets carry n_rows=0 and null metadata).
+    When ``keys`` are given, empty buckets are only materialized per existing
+    key (cross-joining the spine with all keys would be a scale hazard).
+    """
+    spark = df.sparkSession
+    lo, hi = args.resolved_start, args.resolved_end
+    filtered = df.filter((F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi)))
+    agg = windowed_agg(
+        filtered,
+        ts_col,
+        args.resolved_bucket,
+        keys=keys,
+        extra_aggs=extra_aggs,
+        content_payload=content_payload,
+        order_cols=order_cols,
+        origin=lo,
+    )
+    spine = bucket_spine(spark, args)
+    if keys:
+        key_spine = spine.crossJoin(filtered.select(*keys).distinct())
+        join_on = ["bucket_start"] + list(keys)
+        left = key_spine
+    else:
+        join_on = ["bucket_start"]
+        left = spine
+    agg = agg.withColumnRenamed("window_start", "bucket_start").withColumnRenamed(
+        "window_end", "window_end_drop"
+    )
+    out = left.join(F.broadcast(agg) if not keys else agg, on=join_on, how="left")
+    out = out.drop("window_end_drop")
+    return out.withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
+
+
+def ordered_turns(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+) -> DataFrame:
+    """Stable per-key ordering with an analytic row_number (batch verification
+    helper — reference ordering invariant, SURVEY.md §5.5)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    return df.withColumn("turn_rank", F.row_number().over(w))

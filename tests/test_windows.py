@@ -1,0 +1,192 @@
+"""Batch window operator tests — F1 golden scenario + boundary parity.
+
+Golden scenario: reference OnDemandBucketedWindowTest.kt:199-334 ("invoked
+for a subset of the window"): query start=now-4s length=3s bucket=1s over
+the F1 rows => exactly 3 buckets containing texts "2","3","4", 2 rows per
+role per bucket, every ts within the bucket bounds.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark import synth
+from real_time_sliding_window_spark.config import ViewArgs
+from real_time_sliding_window_spark.operators import windows as W
+
+NOW = synth.T0 + timedelta(seconds=6)
+WIN = timedelta(seconds=5)
+
+
+@pytest.fixture(scope="module")
+def f1_df(spark):
+    return synth.to_spark(spark, synth.f1_window_content_rows(NOW)).cache()
+
+
+def _view(df, **kw):
+    args = ViewArgs(now=NOW, window_length=WIN, **kw)
+    return (
+        W.on_demand_view(
+            df,
+            args,
+            ts_col="ts",
+            content_payload=["role", "text", "turn_idx"],
+            order_cols=["turn_idx"],
+        )
+        .orderBy("bucket_start")
+        .collect()
+    )
+
+
+def test_golden_three_buckets(f1_df):
+    rows = _view(
+        f1_df,
+        start=NOW - timedelta(seconds=4),
+        length=timedelta(seconds=3),
+        bucket_length=timedelta(seconds=1),
+    )
+    assert len(rows) == 3
+    for i, (row, expected_text) in enumerate(zip(rows, ["2", "3", "4"])):
+        start = NOW - timedelta(seconds=4 - i)
+        assert row["bucket_start"] == start
+        assert row["bucket_end"] == start + timedelta(seconds=1)
+        assert row["n_rows"] == 4  # 2 per role per bucket
+        texts = [e["text"] for e in row["content"]]
+        roles = [e["role"] for e in row["content"]]
+        assert texts == [expected_text] * 4
+        assert roles.count("user") == 2 and roles.count("tool") == 2
+        # every ts within the bucket (half-open == reference inclusive at µs)
+        for e in row["content"]:
+            assert start <= e["__ts"] < start + timedelta(seconds=1)
+        # stable (ts, turn_idx) ordering
+        order_keys = [(e["__ts"], e["__o_turn_idx"]) for e in row["content"]]
+        assert order_keys == sorted(order_keys)
+
+
+def test_defaults_single_bucket_whole_window(f1_df):
+    rows = _view(f1_df)
+    assert len(rows) == 1
+    assert rows[0]["bucket_start"] == NOW - WIN
+    assert rows[0]["bucket_end"] == NOW
+    assert rows[0]["n_rows"] == 20
+    texts = sorted({e["text"] for e in rows[0]["content"]})
+    assert texts == ["1", "2", "3", "4", "5"]
+
+
+def test_start_only_single_bucket(f1_df):
+    rows = _view(f1_df, start=NOW - timedelta(seconds=3))
+    assert len(rows) == 1
+    assert rows[0]["bucket_start"] == NOW - timedelta(seconds=3)
+    assert rows[0]["bucket_end"] == NOW
+    texts = sorted({e["text"] for e in rows[0]["content"]})
+    assert texts == ["3", "4", "5"]
+
+
+def test_empty_window_returns_empty_buckets(spark):
+    # reference OnDemandBucketedWindowTest.kt:431-477
+    empty = synth.to_spark(spark, synth.f1_window_content_rows(NOW).iloc[0:0])
+    args = ViewArgs(
+        now=NOW,
+        window_length=WIN,
+        start=NOW - timedelta(seconds=4),
+        length=timedelta(seconds=3),
+        bucket_length=timedelta(seconds=1),
+    )
+    rows = (
+        W.on_demand_view(empty, args, ts_col="ts")
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert len(rows) == 3
+    for i, row in enumerate(rows):
+        assert row["bucket_start"] == NOW - timedelta(seconds=4 - i)
+        assert row["n_rows"] == 0
+        assert row["first_ts"] is None
+
+
+def test_boundary_parity(spark):
+    """A row exactly at a bucket end belongs to the NEXT bucket in both the
+    reference model (next bucket starts at end+1ns, and a row at `end` which
+    is start+len lands there) and Spark's half-open window."""
+    import pandas as pd
+
+    t0 = synth.T0
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": pd.array([0, 1, 2], dtype="int32"),
+            "role": ["user"] * 3,
+            "text": ["at-start", "just-inside", "at-end"],
+            "tool": [None] * 3,
+            "ts": [
+                t0,
+                t0 + timedelta(seconds=1) - timedelta(microseconds=1),
+                t0 + timedelta(seconds=1),
+            ],
+        }
+    )
+    df = synth.to_spark(spark, pdf)
+    out = (
+        W.windowed_agg(df, "ts", timedelta(seconds=1), content_payload=["text"])
+        .orderBy("window_start")
+        .collect()
+    )
+    assert len(out) == 2
+    assert [e["text"] for e in out[0]["content"]] == ["at-start", "just-inside"]
+    assert [e["text"] for e in out[1]["content"]] == ["at-end"]
+
+
+def test_sliding_window_counts(spark):
+    df = synth.to_spark(spark, synth.f1_window_content_rows(NOW))
+    out = W.windowed_agg(
+        df, "ts", timedelta(seconds=2), slide=timedelta(seconds=1)
+    ).orderBy("window_start")
+    rows = out.collect()
+    # each row belongs to exactly length/slide = 2 sliding windows
+    assert sum(r["n_rows"] for r in rows) == 2 * 20
+
+
+def test_session_window(spark):
+    import pandas as pd
+
+    t0 = synth.T0
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": pd.array([0, 1, 2, 3], dtype="int32"),
+            "role": ["user"] * 4,
+            "text": ["a", "b", "c", "d"],
+            "tool": [None] * 4,
+            "ts": [
+                t0,
+                t0 + timedelta(seconds=1),
+                # gap > 5s => new session
+                t0 + timedelta(seconds=10),
+                t0 + timedelta(seconds=11),
+            ],
+        }
+    )
+    df = synth.to_spark(spark, pdf)
+    rows = (
+        W.session_agg(df, "ts", timedelta(seconds=5), keys=["conv_id"])
+        .orderBy("session_start")
+        .collect()
+    )
+    assert len(rows) == 2
+    assert rows[0]["session_start"] == t0
+    assert rows[0]["session_end"] == t0 + timedelta(seconds=6)  # last + gap
+    assert rows[0]["n_rows"] == 2
+    assert rows[1]["session_start"] == t0 + timedelta(seconds=10)
+    assert rows[1]["n_rows"] == 2
+
+
+def test_ordered_turns_rank(spark):
+    df = synth.to_spark(spark, synth.f1_window_content_rows(NOW))
+    ranked = W.ordered_turns(df, keys=["conv_id"]).collect()
+    by_rank = sorted(ranked, key=lambda r: r["turn_rank"])
+    keys = [(r["ts"], r["turn_idx"]) for r in by_rank]
+    assert keys == sorted(keys)
