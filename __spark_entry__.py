@@ -1,38 +1,354 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship windowed-content query at sf0.001.
+``queries()`` maps operator names (SURVEY.md §2) to (spark, sf_dir)
+callables; ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for the
+driver's side-by-side correctness run at sf0.01.
+
+Design notes for oracle parity:
+- money/double aggregates are carried as exact integer cents
+  (``sum(round(value*100))``) so value hashes cannot drift on float
+  summation order;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT — every oracle sum is CAST back to
+  BIGINT to match Spark's LongType;
+- window contents are compared as comma-joined id strings in stable
+  ``(ts, event_id)`` order — the transcript engine's per-turn text-equality
+  invariant applied to the driver's ``events`` table;
+- DuckDB ``time_bucket`` origin (2000-01-03) and Spark's epoch alignment
+  agree for the bucket widths used here (1h/6h/1d all midnight-aligned).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from real_time_sliding_window_spark.config import ViewArgs
+from real_time_sliding_window_spark.operators import windows as W
+from real_time_sliding_window_spark.operators.joins import interval_join
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _cents():  # exact integer cents; module-level Column needs a live session
+    return F.round(F.col("value") * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per event_type: counts + min/max ts + exact cents."""
+    return W.windowed_agg(
+        _events(spark, sf_dir),
+        "ts",
+        timedelta(hours=1),
+        keys=["event_type"],
+        extra_aggs=[F.sum(_cents()).alias("sum_value_cents")],
+    )
+
+
+def q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window, 15m slide (global): counts + exact cents."""
+    return W.windowed_agg(
+        _events(spark, sf_dir),
+        "ts",
+        timedelta(hours=1),
+        slide=timedelta(minutes=15),
+        extra_aggs=[F.sum(_cents()).alias("sum_value_cents")],
+    )
+
+
+def q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user_id with a 30-minute gap."""
+    return W.session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        timedelta(minutes=30),
+        keys=["user_id"],
+    )
+
+
+VIEW_NOW = datetime(2024, 2, 1)
+VIEW_START = datetime(2024, 1, 10)
+
+
+def q_ondemand_view_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand tumbling-bucketed view (reference A8): 48h from Jan 10 in
+    6h buckets, empty buckets materialized."""
+    args = ViewArgs(
+        now=VIEW_NOW,
+        window_length=timedelta(days=45),
+        start=VIEW_START,
+        length=timedelta(hours=48),
+        bucket_length=timedelta(hours=6),
+    )
+    return W.on_demand_view(_events(spark, sf_dir), args, ts_col="ts")
+
+
+def q_window_content_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day, per-user ordered window contents — the per-turn text-equality
+    invariant (stable (ts, event_id) ordering, reference ordering comparator
+    OnDemandBucketedWindow.kt:56-57)."""
+    df = _events(spark, sf_dir)
+    sorted_structs = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
+    content = F.array_join(
+        F.transform(sorted_structs, lambda x: x["event_id"].cast("string")), ","
+    )
+    out = df.groupBy(F.window("ts", "1 day").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        content.alias("content_str"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "user_id",
+        "n_rows",
+        "content_str",
+    )
+
+
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: click -> purchase within 1h for the same user
+    (batch form of the north-rule user x tool stream-stream join)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = interval_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        horizon=timedelta(hours=1),
+        how="inner",
+    )
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_ts").alias("click_ts"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_ts").alias("purchase_ts"),
+    )
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication of documents by content hash: canonical id (min
+    doc_id) + duplicate count per distinct text."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text statistics: docs, chars, whitespace token counts."""
+    df = _docs(spark, sf_dir)
+    tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).cast("long")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(tokens).alias("sum_tokens"),
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (partial+final agg sanity at scale)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity")).cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-day per-user ordered
+    window contents (windowed grouping + stable content retrieval)."""
+    return q_window_content_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tumbling_events": q_tumbling_events,
+        "sliding_events": q_sliding_events,
+        "session_events": q_session_events,
+        "ondemand_view_events": q_ondemand_view_events,
+        "window_content_events": q_window_content_events,
+        "interval_join_events": q_interval_join_events,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats_docs": q_text_stats_docs,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tumbling_events": """
+            SELECT
+                time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                event_type,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "sliding_events": """
+            WITH offs AS (SELECT unnest(generate_series(0, 3)) AS k),
+            assigned AS (
+                SELECT
+                    time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+                    ts, value
+                FROM events CROSS JOIN offs
+            )
+            SELECT
+                window_start,
+                window_start + INTERVAL 1 HOUR AS window_end,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM assigned
+            WHERE ts < window_start + INTERVAL 1 HOUR
+            GROUP BY 1, 2
+        """,
+        "session_events": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                    sum(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts
+            FROM sessions
+            GROUP BY user_id, session_id
+        """,
+        "ondemand_view_events": """
+            WITH spine AS (SELECT unnest(generate_series(0, 7)) AS i),
+            b AS (
+                SELECT
+                    TIMESTAMP '2024-01-10 00:00:00' + i * (INTERVAL 6 HOUR) AS bucket_start,
+                    TIMESTAMP '2024-01-10 00:00:00' + (i + 1) * (INTERVAL 6 HOUR) AS bucket_end
+                FROM spine
+            ),
+            a AS (
+                SELECT
+                    time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+                    count(*) AS n_rows,
+                    min(ts) AS first_ts,
+                    max(ts) AS last_ts
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+                GROUP BY 1
+            )
+            SELECT b.bucket_start, b.bucket_end,
+                   COALESCE(a.n_rows, 0) AS n_rows, a.first_ts, a.last_ts
+            FROM b LEFT JOIN a USING (bucket_start)
+        """,
+        "window_content_events": """
+            SELECT
+                time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+                user_id,
+                count(*) AS n_rows,
+                string_agg(CAST(event_id AS VARCHAR), ','
+                           ORDER BY ts, event_id) AS content_str
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "interval_join_events": """
+            SELECT
+                c.user_id,
+                c.event_id AS click_id,
+                c.ts AS click_ts,
+                p.event_id AS purchase_id,
+                p.ts AS purchase_ts
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 1 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "dedup_exact_docs": """
+            SELECT
+                md5(text) AS text_hash,
+                min(doc_id) AS canonical_id,
+                count(*) AS n_dupes
+            FROM documents
+            GROUP BY 1
+        """,
+        "text_stats_docs": """
+            SELECT
+                source,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                max(n_chars) AS max_chars,
+                CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                     AS BIGINT) AS sum_tokens
+            FROM documents
+            GROUP BY 1
+        """,
+        "lineitem_pricing": """
+            SELECT
+                l_returnflag,
+                l_linestatus,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_base_price_cents,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+    }

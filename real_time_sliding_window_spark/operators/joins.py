@@ -1,0 +1,90 @@
+"""Interval / as-of joins over event streams.
+
+The reference has no joins (SURVEY.md §2 Table B); the north rule mandates a
+stateful stream-stream join of user turns against tool-call turns. The batch
+form here is a plain range-predicate join Catalyst can optimize (broadcast
+when one side is small, sort-merge otherwise; AQE splits skewed partitions).
+The streaming form lives in streaming/pipeline.py (watermarks both sides).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.config import interval_str
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    horizon: timedelta,
+    how: str = "inner",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Join rows where right.ts in [left.ts, left.ts + horizon], equi on keys.
+
+    Column names are prefixed to avoid collisions. The equi-keys keep this a
+    hash/sort-merge join (shuffle on keys) rather than a cross product; the
+    range predicate is applied post-match, so skewed keys are the thing to
+    watch (AQE skew-join handles the join case).
+    """
+    lcols = [F.col(f"l.{c}").alias(c if c in keys else f"{left_prefix}{c}") for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} >= l.{left_ts}",
+                f"r.{right_ts} <= l.{left_ts} + interval {interval_str(horizon)}",
+            ]
+        )
+    )
+    return left.alias("l").join(right.alias("r"), on=cond, how=how).select(*lcols, *rcols)
+
+
+def user_tool_join(
+    transcripts: DataFrame,
+    horizon: timedelta = timedelta(seconds=10),
+    how: str = "leftOuter",
+) -> DataFrame:
+    """North-rule join: each user turn matched to tool turns in
+    [user.ts, user.ts + horizon] within the same conversation (F7)."""
+    user = transcripts.filter(F.col("role") == "user").select(
+        "conv_id",
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("text").alias("user_text"),
+        F.col("ts").alias("user_ts"),
+    )
+    tool = transcripts.filter(F.col("role") == "tool").select(
+        "conv_id",
+        F.col("turn_idx").alias("tool_turn_idx"),
+        F.col("tool").alias("tool_name"),
+        F.col("ts").alias("tool_ts"),
+    )
+    cond = (
+        (user["conv_id"] == tool["conv_id"])
+        & (tool["tool_ts"] >= user["user_ts"])
+        & (tool["tool_ts"] <= user["user_ts"] + F.expr(f"interval {interval_str(horizon)}"))
+    )
+    joined = user.join(tool, on=cond, how=how)
+    return joined.select(
+        user["conv_id"],
+        "user_turn_idx",
+        "user_text",
+        "user_ts",
+        "tool_turn_idx",
+        "tool_name",
+        "tool_ts",
+    )
