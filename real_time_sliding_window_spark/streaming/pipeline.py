@@ -1,0 +1,118 @@
+"""Structured Streaming pipelines: windowed aggregation + stream-stream join.
+
+The reference's scheduler-driven bucket rotation (A4/A5) maps to Structured
+Streaming's trigger + watermark machinery: a window group is finalized and
+emitted (append mode) when the watermark passes window end — the analogue of
+``currentBucketEnd`` firing, with late rows dropped instead of racing a lock
+(reference tolerates a rotate-mid-add race, ``BucketData.kt:54-57``).
+
+Everything here is the built-in engine: no custom state, no UDFs — the
+entire aggregation runs JVM-side in whole-stage codegen with partial
+aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.config import WindowSpec, interval_str
+
+
+def windowed_stream(
+    stream: DataFrame,
+    spec: WindowSpec,
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    extra_aggs: Sequence[Column] = (),
+    content_payload: Sequence[str] | None = None,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming windowed aggregation per WindowSpec (tumbling/sliding/session).
+
+    Emits one row per closed window (append output mode downstream):
+    window_start, window_end, *keys, n_rows, first_ts, last_ts[, content].
+    """
+    wm = stream.withWatermark(ts_col, spec.watermark_interval)
+    if spec.kind == "session":
+        win = F.session_window(ts_col, spec.gap_interval)
+    elif spec.kind == "sliding":
+        win = F.window(ts_col, spec.length_interval, spec.slide_interval)
+    else:
+        win = F.window(ts_col, spec.length_interval)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+    if content_payload is not None:
+        fields = [F.col(ts_col).alias("__ts")]
+        fields += [F.col(c).alias(f"__o_{c}") for c in order_cols]
+        fields += [F.col(c) for c in content_payload]
+        aggs.append(F.sort_array(F.collect_list(F.struct(*fields))).alias("content"))
+    aggs.extend(extra_aggs)
+
+    out = wm.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[c for c in out.columns if c != "window" and c not in keys],
+    )
+
+
+def user_tool_stream_join(
+    transcripts: DataFrame,
+    horizon: timedelta = timedelta(seconds=10),
+    watermark_delay: timedelta = timedelta(seconds=2),
+    how: str = "leftOuter",
+) -> DataFrame:
+    """North-rule stateful stream-stream join (F7): each user turn joined to
+    tool turns of the same conversation within [user.ts, user.ts + horizon].
+
+    Both sides carry watermarks; the time-range predicate bounds join state
+    so Spark can discard user state past (watermark − horizon) and tool
+    state past the watermark — built-in state cleanup, no custom operator.
+    Outer-join results for unmatched user turns emit once the watermark
+    passes the horizon.
+    """
+    wm_iv = interval_str(watermark_delay)
+    user = (
+        transcripts.filter(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv_id"),
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("text").alias("user_text"),
+            F.col("ts").alias("user_ts"),
+        )
+        .withWatermark("user_ts", wm_iv)
+    )
+    tool = (
+        transcripts.filter(F.col("role") == "tool")
+        .select(
+            F.col("conv_id").alias("t_conv_id"),
+            F.col("turn_idx").alias("tool_turn_idx"),
+            F.col("tool").alias("tool_name"),
+            F.col("ts").alias("tool_ts"),
+        )
+        .withWatermark("tool_ts", wm_iv)
+    )
+    cond = F.expr(
+        "u_conv_id = t_conv_id AND "
+        "tool_ts >= user_ts AND "
+        f"tool_ts <= user_ts + interval {interval_str(horizon)}"
+    )
+    joined = user.join(tool, on=cond, how=how)
+    return joined.select(
+        F.col("u_conv_id").alias("conv_id"),
+        "user_turn_idx",
+        "user_text",
+        "user_ts",
+        "tool_turn_idx",
+        "tool_name",
+        "tool_ts",
+    )

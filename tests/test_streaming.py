@@ -1,0 +1,343 @@
+"""Structured Streaming tests: watermark semantics, stateful ring buffer,
+stream-stream join, exactly-once sink (FIXTURES.md F2/F3/F5/F6/F7).
+
+Batch control: each FileFeed.push() is one parquet drop;
+maxFilesPerTrigger=1 + availableNow makes every drop its own micro-batch,
+so the watermark advances between drops — the deterministic-scheduler
+analogue of the reference's TestRunOnlyNTimesTaskScheduler (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark import synth
+from real_time_sliding_window_spark.config import WindowSpec
+from real_time_sliding_window_spark.operators.stateful import ring_buffer_stream
+from real_time_sliding_window_spark.sources.streams import FileFeed
+from real_time_sliding_window_spark.streaming.pipeline import (
+    user_tool_stream_join,
+    windowed_stream,
+)
+from real_time_sliding_window_spark.streaming.sink import (
+    ExactlyOnceParquetSink,
+    run_to_sink,
+)
+
+T0 = synth.T0
+SEC = timedelta(seconds=1)
+
+
+def rows(*specs) -> pd.DataFrame:
+    """specs: (conv_id, turn_idx, role, text, tool, sec_offset)"""
+    data = [
+        {
+            "conv_id": c,
+            "turn_idx": i,
+            "role": r,
+            "text": t,
+            "tool": tl,
+            "ts": T0 + off * SEC if not isinstance(off, timedelta) else T0 + off,
+        }
+        for (c, i, r, t, tl, off) in specs
+    ]
+    pdf = pd.DataFrame(data)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def drive(spark, tmp_path, result_fn, pushes, name):
+    """Build feed, push files one at a time, run availableNow per push,
+    return (sink, per-run committed row snapshots)."""
+    feed = FileFeed(spark, str(tmp_path / f"{name}_in"))
+    sink = ExactlyOnceParquetSink(str(tmp_path / f"{name}_out"))
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    snapshots = []
+    for push in pushes:
+        feed.push(push)
+        result = result_fn(feed.stream())
+        run_to_sink(result, sink, ckpt, query_name=name)
+        try:
+            snapshots.append(sink.read_committed(spark).toPandas())
+        except FileNotFoundError:
+            snapshots.append(pd.DataFrame())
+    return sink, snapshots
+
+
+# ---------------------------------------------------------------------------
+# Streaming tumbling window + late-data drop (F6)
+# ---------------------------------------------------------------------------
+
+class TestStreamingWindow:
+    def test_emit_on_watermark_and_late_drop(self, spark, tmp_path):
+        spec = WindowSpec(name="wlate", length="2 seconds", watermark_delay="2 seconds")
+
+        def pipe(stream):
+            return windowed_stream(
+                stream, spec, keys=["conv_id"],
+                content_payload=["text"], order_cols=["turn_idx"],
+            ).withColumn("content_str",
+                         F.array_join(F.transform("content", lambda x: x["text"]), ","),
+                         ).drop("content")
+
+        early = rows(
+            ("c1", 0, "user", "w0-a", None, 0),
+            ("c1", 1, "user", "w0-b", None, 1),
+            ("c1", 2, "user", "w1-a", None, 2),
+        )
+        # advances watermark to 10-2=8s: window [0,2) and [2,4) close
+        advance = rows(("c2", 0, "user", "adv", None, 10))
+        # late beyond watermark (ts=1s << wm=8s): silently dropped
+        late = rows(("c1", 3, "user", "late", None, 1))
+        # advance further so any (wrongly accepted) late window would emit
+        advance2 = rows(("c2", 1, "user", "adv2", None, 20))
+
+        sink, snaps = drive(spark, tmp_path, pipe, [early, advance, late, advance2], "wlate")
+        final = snaps[-1]
+        c1 = final[final.conv_id == "c1"].sort_values("window_start")
+        assert list(c1["content_str"]) == ["w0-a,w0-b", "w1-a"]
+        assert list(c1["n_rows"]) == [2, 1]
+        # the late row never surfaced anywhere
+        assert not final["content_str"].str.contains("late").any()
+
+    def test_within_delay_included(self, spark, tmp_path):
+        spec = WindowSpec(name="wok", length="2 seconds", watermark_delay="10 seconds")
+
+        def pipe(stream):
+            return windowed_stream(stream, spec, keys=["conv_id"])
+
+        early = rows(("c1", 0, "user", "a", None, 0))
+        newer = rows(("c1", 1, "user", "b", None, 5))
+        # ts=1s is late vs max_ts=5s but within the 10s delay => included
+        late_ok = rows(("c1", 2, "user", "c", None, 1))
+        closer = rows(("c2", 0, "user", "adv", None, 30))
+        _, snaps = drive(spark, tmp_path, pipe, [early, newer, late_ok, closer], "wok")
+        final = snaps[-1]
+        w0 = final[(final.conv_id == "c1")
+                   & (final.window_start == T0)]
+        assert len(w0) == 1 and w0.iloc[0]["n_rows"] == 2  # both ts=0s and ts=1s
+
+
+# ---------------------------------------------------------------------------
+# Stateful ring buffer (F2, F3, F5)
+# ---------------------------------------------------------------------------
+
+class TestRingBuffer:
+    def test_capacity_eviction_order(self, spark, tmp_path):
+        """F3 count variant: maxData=4, 6 turns => EVICT 0 then 1."""
+
+        def pipe(stream):
+            return ring_buffer_stream(stream, timedelta(0), max_data=4)
+
+        pushes = [
+            rows(*[("c1", i, "user", f"t{i}", None, i) for i in range(4)]),
+            rows(("c1", 4, "user", "t4", None, 4)),
+            rows(("c1", 5, "user", "t5", None, 5)),
+        ]
+        sink, snaps = drive(spark, tmp_path, pipe, pushes, "cap")
+        after4, after5, after6 = snaps
+        assert (after4["action"] == "ADD").all() and len(after4) == 4
+        ev5 = after5[after5.action == "EVICT"]
+        assert list(ev5.turn_idx) == [0] and list(ev5.reason) == ["capacity"]
+        ev6 = snaps[2][snaps[2].action == "EVICT"].sort_values("turn_idx")
+        assert list(ev6.turn_idx) == [0, 1]
+        # removal order across batches: EVICT(0) committed before EVICT(1)
+        lineage = sink.lineage()
+        assert len(lineage) >= 3
+        # final buffer: ADDs minus EVICTs = turns 2..5
+        final = snaps[2]
+        added = set(final[final.action == "ADD"].turn_idx)
+        evicted = set(final[final.action == "EVICT"].turn_idx)
+        assert sorted(added - evicted) == [2, 3, 4, 5]
+
+    def test_age_expiry(self, spark, tmp_path):
+        """F2: window length 3s; turns at now-5..now-1; survivors ts>=now-3."""
+        now_off = 6  # "now" = T0+6s
+
+        def pipe(stream):
+            return ring_buffer_stream(
+                stream, timedelta(0), max_duration=timedelta(seconds=3)
+            )
+
+        f2 = synth.f2_expiry_rows(T0 + now_off * SEC)
+        advance = rows(("cadv", 0, "user", "adv", None, now_off))
+        _, snaps = drive(spark, tmp_path, pipe, [f2, advance], "age")
+        final = snaps[-1]
+        ev = final[(final.action == "EVICT") & (final.conv_id == "c1")]
+        assert set(ev.reason) == {"age"}
+        assert sorted(ev.text) == ["1", "1", "2", "2"]  # d=5,4 per role
+        added = final[(final.action == "ADD") & (final.conv_id == "c1")]
+        survivors = added[~added.turn_idx.isin(ev.turn_idx)]
+        assert sorted(survivors.text) == ["3", "3", "4", "4", "5", "5"]
+        assert (survivors.groupby("role").size() == 3).all()
+
+    def test_age_expiry_nothing_old(self, spark, tmp_path):
+        """F2 variant B: nothing older than window => no eviction."""
+
+        def pipe(stream):
+            return ring_buffer_stream(
+                stream, timedelta(0), max_duration=timedelta(seconds=30)
+            )
+
+        f2 = synth.f2_expiry_rows(T0 + 6 * SEC)
+        advance = rows(("cadv", 0, "user", "adv", None, 6))
+        _, snaps = drive(spark, tmp_path, pipe, [f2, advance], "noev")
+        final = snaps[-1]
+        assert (final[final.conv_id == "c1"].action == "ADD").all()
+
+    def test_dedup_redelivery(self, spark, tmp_path):
+        """F5: redelivered (conv_id, turn_idx) => DUP, not double-ADD."""
+
+        def pipe(stream):
+            return ring_buffer_stream(stream, timedelta(0), max_data=10)
+
+        first = rows(("c1", 0, "user", "a", None, 0), ("c1", 1, "user", "b", None, 1))
+        redeliver = rows(("c1", 1, "user", "b", None, 1))
+        _, snaps = drive(spark, tmp_path, pipe, [first, redeliver], "dup")
+        final = snaps[-1]
+        assert len(final[final.action == "ADD"]) == 2
+        dup = final[final.action == "DUP"]
+        assert list(dup.turn_idx) == [1]
+
+    def test_stable_order_same_ts(self, spark, tmp_path):
+        """F5: identical ts, different turn_idx => (ts, turn_idx) order."""
+
+        def pipe(stream):
+            return ring_buffer_stream(stream, timedelta(0), max_data=2)
+
+        same_ts = rows(
+            ("c1", 1, "user", "second", None, 0),
+            ("c1", 0, "user", "first", None, 0),
+            ("c1", 2, "user", "third", None, 0),
+        )
+        _, snaps = drive(spark, tmp_path, pipe, [same_ts], "ord")
+        final = snaps[-1]
+        ev = final[final.action == "EVICT"]
+        # capacity 2 over 3 same-ts rows: lowest turn_idx evicted first
+        assert list(ev.turn_idx) == [0]
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (F7)
+# ---------------------------------------------------------------------------
+
+class TestStreamJoin:
+    def test_user_tool_interval_join(self, spark, tmp_path):
+        def pipe(stream):
+            return user_tool_stream_join(
+                stream,
+                horizon=timedelta(seconds=10),
+                watermark_delay=timedelta(seconds=2),
+                how="inner",
+            )
+
+        data = rows(
+            # conv with 1 matching tool turn
+            ("c1", 0, "user", "q1", None, 0),
+            ("c1", 1, "tool", "r1", "search", 3),
+            # conv with 3 matching tool turns
+            ("c2", 0, "user", "q2", None, 0),
+            ("c2", 1, "tool", "r2a", "code", 1),
+            ("c2", 2, "tool", "r2b", "code", 5),
+            ("c2", 3, "tool", "r2c", "code", 9),
+            # tool turn outside the interval (must not join)
+            ("c3", 0, "user", "q3", None, 0),
+            ("c3", 1, "tool", "r3", "calc", 15),
+            # conv with no tool turn
+            ("c4", 0, "user", "q4", None, 0),
+        )
+        advance = rows(("c9", 0, "user", "adv", None, 60))
+        _, snaps = drive(spark, tmp_path, pipe, [data, advance], "join")
+        final = snaps[-1]
+        by_conv = final.groupby("conv_id").size().to_dict()
+        assert by_conv == {"c1": 1, "c2": 3}
+
+    def test_late_tool_turn_dropped(self, spark, tmp_path):
+        def pipe(stream):
+            return user_tool_stream_join(
+                stream,
+                horizon=timedelta(seconds=10),
+                watermark_delay=timedelta(seconds=2),
+                how="inner",
+            )
+
+        users = rows(("c1", 0, "user", "q", None, 0))
+        # the join's global watermark is min(user side, tool side): both
+        # sides must advance, or the tool side pins the watermark at 0
+        advance = rows(
+            ("c9", 0, "user", "adv", None, 60),
+            ("c9", 1, "tool", "adv", "calc", 60),
+        )
+        # tool turn inside the interval but arriving after watermark passed
+        late_tool = rows(("c1", 1, "tool", "r", "search", 5))
+        advance2 = rows(
+            ("c9", 2, "user", "adv2", None, 120),
+            ("c9", 3, "tool", "adv2", "calc", 120),
+        )
+        _, snaps = drive(
+            spark, tmp_path, pipe, [users, advance, late_tool, advance2], "latejoin"
+        )
+        final = snaps[-1]
+        assert len(final[final.conv_id == "c1"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once sink + checkpoint resume
+# ---------------------------------------------------------------------------
+
+class TestExactlyOnce:
+    def test_batch_redelivery_noop(self, spark, tmp_path):
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
+        df = synth.to_spark(spark, rows(("c1", 0, "user", "a", None, 0)))
+        sink.write_batch(df, 0)
+        sink.write_batch(df, 0)  # redelivery
+        out = sink.read_committed(spark).toPandas()
+        assert len(out) == 1
+        assert sink.lineage()[0]["rows"] == 1
+
+    def test_torn_write_recovery(self, spark, tmp_path):
+        import os
+        import shutil
+
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sink2"))
+        df = synth.to_spark(spark, rows(("c1", 0, "user", "a", None, 0)))
+        sink.write_batch(df, 0)
+        # simulate crash between data write and commit marker
+        os.remove(sink._commit_marker(0))
+        sink.write_batch(df, 0)  # retry rewrites cleanly
+        out = sink.read_committed(spark).toPandas()
+        assert len(out) == 1
+
+    def test_resume_from_checkpoint_identical_output(self, spark, tmp_path):
+        """Incremental runs with a persistent checkpoint produce exactly the
+        rows a single fresh run produces (deterministic resume)."""
+        spec = WindowSpec(name="res", length="2 seconds", watermark_delay="0 seconds")
+
+        def pipe(stream):
+            return windowed_stream(stream, spec, keys=["conv_id"])
+
+        pushes = [
+            rows(("c1", 0, "user", "a", None, 0), ("c1", 1, "user", "b", None, 1)),
+            rows(("c1", 2, "user", "c", None, 3)),
+            rows(("c1", 3, "user", "d", None, 9)),
+        ]
+        _, snaps_inc = drive(spark, tmp_path, pipe, pushes, "inc")
+
+        # fresh single run over the same input
+        feed = FileFeed(spark, str(tmp_path / "fresh_in"))
+        for p in pushes:
+            feed.push(p)
+        sink2 = ExactlyOnceParquetSink(str(tmp_path / "fresh_out"))
+        run_to_sink(pipe(feed.stream()), sink2, str(tmp_path / "fresh_ckpt"), "fresh")
+        fresh = sink2.read_committed(spark).toPandas()
+
+        inc = snaps_inc[-1]
+        cols = ["window_start", "conv_id", "n_rows"]
+        a = inc[cols].sort_values(cols).reset_index(drop=True)
+        b = fresh[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
