@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_sliding_window_spark.config import ViewArgs
+from real_time_sliding_window_spark.operators import dedup as D
+from real_time_sliding_window_spark.operators import similarity as S
+from real_time_sliding_window_spark.operators import text as T
 from real_time_sliding_window_spark.operators import windows as W
 from real_time_sliding_window_spark.operators.joins import interval_join
 
@@ -190,6 +193,79 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprints."""
+    return D.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (byte-band candidates; rows-only check)."""
+    return D.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dups via sign-sketch buckets (rows-only)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return D.embedding_neardup_pairs(emb, min_cosine=0.35)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id < 20 (exact,
+    quantized int math — bit-identical to the oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_topk(emb, query_ids=range(20), k=3)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (scale path; rows-only check)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk(emb, query_ids=range(20), k=3)
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language identification."""
+    return T.language_id(_docs(spark, sf_dir))
+
+
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + distinct-token per-mille score."""
+    return T.quality_scores(_docs(spark, sf_dir))
+
+
+def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / regex / BPE-ish token counts."""
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprints (full + 8-token prefix)."""
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def _simhash_sql_expr() -> str:
+    terms = []
+    for j in range(32):
+        terms.append(
+            f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+            f"x -> ((x >> {j}) & 1) * 2 - 1)), 0) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _hits_sql(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter(tok, t -> list_contains([{arr}], t))) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -211,6 +287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
         "lineitem_pricing": q_lineitem_pricing,
+        "minhash_neardup_docs": q_minhash_neardup_docs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "langid_docs": q_langid_docs,
+        "quality_docs": q_quality_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "fingerprint_docs": q_fingerprint_docs,
     }
 
 
@@ -350,5 +436,149 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "minhash_neardup_docs": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                   i -> array_to_string(w[i:i+2], ' ')) AS shingles
+                FROM base
+            ),
+            sig AS (
+                SELECT doc_id, shingles,
+                    list_transform(generate_series(0, 11),
+                        j -> list_min(list_transform(shingles,
+                                                     s -> md5(s || '#' || j)))) AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, b.k AS band_idx,
+                       md5(array_to_string(sg[b.k*3+1 : b.k*3+3], '|')) AS band_key
+                FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) b
+            ),
+            cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band_idx = b.band_idx
+                           AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            verified AS (
+                SELECT doc_a, doc_b,
+                    CAST(len(list_filter(list_distinct(sa.shingles),
+                             x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter,
+                    CAST(len(list_distinct(sa.shingles)) AS BIGINT)
+                        + CAST(len(list_distinct(sb.shingles)) AS BIGINT) AS sum_sizes
+                FROM cand
+                JOIN sh sa ON sa.doc_id = cand.doc_a
+                JOIN sh sb ON sb.doc_id = cand.doc_b
+            )
+            SELECT doc_a, doc_b, inter,
+                   (sum_sizes - inter) AS union_sz,
+                   CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) AS jaccard
+            FROM verified
+            WHERE CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) >= 0.2
+        """,
+        "simhash_docs": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS tok FROM documents
+            ),
+            h AS (
+                SELECT doc_id, tok,
+                    list_transform(tok,
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST({_simhash_sql_expr()} AS BIGINT) AS simhash,
+                   CAST(len(tok) AS BIGINT) AS n_tokens
+            FROM h
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id,
+                    list_transform(embedding,
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE vec_id < 20
+            ),
+            pairs AS (
+                SELECT query_id, q.vec_id AS neighbor_id,
+                    CAST(list_sum(list_transform(list_zip(q_qv, q.qv),
+                                                 p -> p[1] * p[2])) AS DOUBLE)
+                    / (sqrt(CAST(list_sum(list_transform(q_qv, v -> v*v)) AS DOUBLE))
+                       * sqrt(CAST(list_sum(list_transform(q.qv, v -> v*v)) AS DOUBLE)))
+                    AS cosine
+                FROM qs, q
+                WHERE q.vec_id <> qs.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM pairs
+            )
+            WHERE rank <= 3
+        """,
+        "langid_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+            hits AS (
+                SELECT doc_id,
+                    {_hits_sql(["the", "and", "of", "to", "in", "is", "a"])} AS hits_en,
+                    {_hits_sql(["der", "die", "und", "das", "ist", "ein"])} AS hits_de,
+                    {_hits_sql(["el", "la", "que", "los", "una", "es"])} AS hits_es,
+                    {_hits_sql(["le", "les", "et", "des", "une", "est"])} AS hits_fr
+                FROM t
+            )
+            SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+                CASE
+                    WHEN hits_en >= hits_de AND hits_en >= hits_es
+                         AND hits_en >= hits_fr THEN 'en'
+                    WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                    WHEN hits_es >= hits_fr THEN 'es'
+                    ELSE 'fr'
+                END AS predicted_lang
+            FROM hits
+        """,
+        "quality_docs": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS tok FROM documents)
+            SELECT doc_id,
+                CAST(len(tok) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct_tokens,
+                CAST(COALESCE(list_sum(list_transform(tok, s -> length(s))), 0)
+                     AS BIGINT) AS alnum_chars,
+                CAST(length(text) AS BIGINT)
+                    - CAST(COALESCE(list_sum(list_transform(tok, s -> length(s))), 0)
+                           AS BIGINT) AS other_chars,
+                CASE WHEN len(tok) > 0
+                     THEN CAST(floor(1000 * len(list_distinct(tok)) / len(tok))
+                               AS BIGINT)
+                     ELSE 0 END AS distinct_permille
+            FROM t
+        """,
+        "token_counts_docs": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS tok FROM documents)
+            SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_words,
+                CAST(len(tok) AS BIGINT) AS re_tokens,
+                CAST(COALESCE(list_sum(list_transform(tok,
+                         s -> CAST(ceil(length(s) / 4.0) AS BIGINT))), 0)
+                     AS BIGINT) AS subword_est
+            FROM t
+        """,
+        "fingerprint_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+            SELECT doc_id,
+                md5(COALESCE(array_to_string(tok, ' '), '')) AS fingerprint,
+                md5(COALESCE(array_to_string(tok[1:8], ' '), ''))
+                    AS prefix_fingerprint
+            FROM t
         """,
     }

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""BENCH harness — one JSON line on stdout.
+
+Measures (1) the headline batch queries at $SPARK_GRAFT_SF_DIR and (2) the
+streaming engine's sustained turns/sec: a deterministic synthetic transcript
+corpus streamed through the tumbling-window pipeline and the stateful ring
+buffer to a counting sink, with per-batch durations from the lineage
+listener (p50/p99 batch duration stand in for emit latency under
+availableNow batch semantics — wall-clock emit latency needs a live trigger,
+see BENCH/BASELINE.md).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), RTSW_BENCH_CONVS / RTSW_BENCH_TURNS to resize
+the streaming corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH_QUERIES = [
+    "tumbling_events",
+    "sliding_events",
+    "session_events",
+    "window_content_events",
+    "interval_join_events",
+    "ondemand_view_events",
+    "dedup_exact_docs",
+    "minhash_neardup_docs",
+    "simhash_docs",
+    "ann_cosine_topk",
+    "quality_docs",
+    "lineitem_pricing",
+]
+
+
+def force(df) -> None:
+    """Execute fully without driver collection (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_batch(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in BATCH_QUERIES:
+        t0 = time.monotonic()
+        force(qs[name](spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _corpus(spark, n_convs: int, mean_turns: int) -> tuple[str, int]:
+    """Materialize (once per size) the deterministic streaming corpus."""
+    from real_time_sliding_window_spark.synth import transcripts_df
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"rtsw_bench_corpus_{n_convs}_{mean_turns}"
+    )
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        df = transcripts_df(spark, n_convs, mean_turns=mean_turns)
+        df.repartition(32).write.mode("overwrite").parquet(path)
+        open(marker, "w").close()
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
+    from datetime import timedelta
+
+    from real_time_sliding_window_spark.config import WindowSpec
+    from real_time_sliding_window_spark.operators.stateful import ring_buffer_stream
+    from real_time_sliding_window_spark.streaming import lineage
+    from real_time_sliding_window_spark.streaming.pipeline import windowed_stream
+    from real_time_sliding_window_spark.synth import TRANSCRIPT_SCHEMA
+
+    path, total_rows = _corpus(spark, n_convs, mean_turns)
+    listener = lineage.attach(spark)
+    results = {}
+
+    def run(result_df, name: str) -> float:
+        ckpt = tempfile.mkdtemp(prefix=f"rtsw_ck_{name}_")
+        counts = []
+        t0 = time.monotonic()
+        q = (
+            result_df.writeStream.foreachBatch(
+                lambda df, bid: counts.append(df.count())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.monotonic() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return dt
+
+    def stream_src():
+        return (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(path)
+        )
+
+    spec = WindowSpec(
+        name="bench-win", length="60 seconds", watermark_delay="30 seconds"
+    )
+    dt_win = run(
+        windowed_stream(stream_src(), spec, keys=["conv_id"]), "bench_window"
+    )
+    results["window_agg_sec"] = round(dt_win, 2)
+    results["window_agg_turns_per_sec"] = round(total_rows / dt_win)
+
+    dt_rb = run(
+        ring_buffer_stream(
+            stream_src(),
+            timedelta(seconds=30),
+            max_duration=timedelta(minutes=10),
+            max_data=64,
+        ),
+        "bench_ring",
+    )
+    results["ring_buffer_sec"] = round(dt_rb, 2)
+    results["ring_buffer_turns_per_sec"] = round(total_rows / dt_rb)
+
+    durs = sorted(
+        r["batch_duration_ms"] for r in listener.progress if r["batch_duration_ms"]
+    )
+    if durs:
+        results["batch_ms_p50"] = durs[len(durs) // 2]
+        results["batch_ms_p99"] = durs[min(len(durs) - 1, int(len(durs) * 0.99))]
+    results["total_rows"] = total_rows
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("RTSW_BENCH_CONVS", "20000"))
+    mean_turns = int(os.environ.get("RTSW_BENCH_TURNS", "25"))
+
+    from real_time_sliding_window_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="rtsw-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.monotonic()
+    queries = bench_batch(spark, sf_dir)
+    streaming = bench_streaming(spark, n_convs, mean_turns)
+    total = round(time.monotonic() - t0, 2)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "streaming turns/sec (ring buffer) + batch suite sec",
+                "value": streaming["ring_buffer_turns_per_sec"],
+                "unit": "turns/sec",
+                "queries": queries,
+                "streaming": streaming,
+                "total_sec": total,
+                "cpus": cpus,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

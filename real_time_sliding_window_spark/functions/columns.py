@@ -1,0 +1,140 @@
+"""Shared vectorized column builders (all JVM-side Catalyst expressions).
+
+Every function here returns a Column built purely from
+``pyspark.sql.functions`` — no Python UDFs — so the whole hot path stays
+inside whole-stage codegen and is trivially scalable. Each builder has an
+exactly-equivalent DuckDB SQL form used by the oracle queries; determinism
+across engines is guaranteed by integer arithmetic (quantized dot products,
+counts) and md5 (identical hex output everywhere).
+
+Design notes:
+- tokens: ``[a-z0-9]+`` over lowercased text — a regex class with identical
+  semantics in Java regex and DuckDB's RE2.
+- shingles: word k-grams with 1-based inclusive slicing on both engines.
+- minhash: signature_j = min over shingles of md5(shingle || '#' || j) —
+  lexicographic min of fixed-width hex == numeric min, portable.
+- simhash: 32-bit, token hash = first 8 md5 hex chars as int; bit j of the
+  fingerprint set iff sum over tokens of ±1 (bit j set → +1) is > 0.
+- cosine: embeddings quantized to int(round(x*1000)); dot and norms are
+  exact int64 sums, so the final double division is bit-identical across
+  engines and summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-gram shingles; short docs yield one (short) shingle."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+    )
+
+
+def minhash_signature(shingles_col: str, n_hashes: int = 12) -> Column:
+    """Array of n_hashes minhash values (md5-hex strings)."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col(shingles_col), lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}")))
+            )
+        )
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each band's concatenated signature slice."""
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def token_hashes32(tokens_col: str) -> Column:
+    """Per-token 32-bit hash: first 8 md5 hex chars as a long."""
+    return F.expr(
+        f"transform({tokens_col}, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as long))"
+    )
+
+
+def simhash32(hashes_col: str) -> Column:
+    """32-bit simhash fingerprint as a long (bit j set iff Σ±1 > 0)."""
+    bit_sums = [
+        F.expr(
+            f"aggregate({hashes_col}, 0L, "
+            f"(acc, x) -> acc + (shiftright(x, {j}) & 1L) * 2L - 1L)"
+        )
+        for j in range(32)
+    ]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def quantize(embedding_col: str, scale: int = 1000) -> Column:
+    """float array -> exact int64 array (cross-engine-deterministic basis)."""
+    return F.expr(
+        f"transform({embedding_col}, x -> cast(round(x * {scale}) as long))"
+    )
+
+
+def int_dot(a_col: str, b_col: str) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def int_norm(a_col: str) -> Column:
+    """sqrt of the exact integer self-dot (double, deterministic)."""
+    return F.sqrt(
+        F.expr(f"aggregate({a_col}, 0L, (acc, v) -> acc + v * v)").cast("double")
+    )
+
+
+def sign_sketch(qv_col: str, n_planes: int = 8) -> Column:
+    """LSH sign sketch: bit p = sign of <v, h_p> for dense pseudo-random
+    ±1 hyperplanes h_p (every dimension contributes to every plane, so a
+    small perturbation of a vector rarely flips a bit — unlike sparse
+    stride-based planes)."""
+    sk = F.lit(0)
+    for p in range(n_planes):
+        proj = F.expr(
+            f"aggregate(transform({qv_col}, (x, i) -> "
+            f"case when pmod((i + 1) * {p + 7}, 13) < 7 then x else -x end), "
+            f"0L, (a, v) -> a + v)"
+        )
+        sk = sk + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sk
+
+
+def jaccard_parts(a_tokens: str, b_tokens: str) -> tuple[Column, Column]:
+    """(intersection, union) sizes over DISTINCT elements — exact ints.
+
+    Built from list_filter/contains (not array_intersect) so the DuckDB
+    twin is expression-for-expression identical.
+    """
+    inter = F.expr(
+        f"size(filter(array_distinct({a_tokens}), x -> array_contains({b_tokens}, x)))"
+    ).cast("long")
+    union = (
+        F.expr(f"size(array_distinct({a_tokens}))").cast("long")
+        + F.expr(f"size(array_distinct({b_tokens}))").cast("long")
+        - inter
+    )
+    return inter, union

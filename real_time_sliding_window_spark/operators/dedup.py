@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's accidental set-dedup (SURVEY.md §2 Table B
+"Distinct/dedup"), these are the training-data-pipeline dedup family, each
+built shuffle-consciously:
+
+- **exact**: one hash-aggregate on md5(text) — one shuffle, map-side
+  partial agg.
+- **minhash LSH**: signatures and band keys are computed per-row with
+  JVM-side higher-order functions (zero shuffle); the only shuffles are the
+  explode-band self-join (equi-join on (band, key) — hash join, broadcast
+  when the corpus is small) and the final distinct. At 100 TB the band join
+  is the standard near-dup-at-scale pattern (band key is effectively a
+  random partitioner, so no skew hot-spots beyond true dup clusters).
+- **simhash**: per-row fingerprint (zero shuffle); near-dup candidates via
+  band join on fingerprint bytes.
+- **ngram-jaccard**: exact verification on LSH candidates only — never the
+  O(n²) cross join.
+- **embedding near-dup**: cosine over quantized int vectors on LSH-band or
+  sign-sketch buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.functions import columns as C
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: canonical (min) id + duplicate count."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature (array of md5-hex minima)."""
+    return (
+        df.withColumn("__sh", C.word_shingles(text_col, shingle_k))
+        .select(F.col(id_col), C.minhash_signature("__sh", n_hashes).alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding for candidates, exact shingle
+    Jaccard for verification. Output: (doc_a, doc_b, inter, union, jaccard).
+    """
+    rows_per_band = n_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("__sh", C.word_shingles("text", shingle_k))
+        .withColumn("__sig", C.minhash_signature("__sh", n_hashes))
+        .withColumn("__bands", C.band_keys("__sig", bands, rows_per_band))
+    )
+    banded = base.select(
+        "doc_id",
+        F.posexplode("__bands").alias("band_idx", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = base.select("doc_id", "__sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+    )
+    inter, union = C.jaccard_parts("sh_a", "sh_b")
+    out = verified.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("inter"),
+        union.alias("union_sz"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document 32-bit simhash fingerprint + token count."""
+    t = df.withColumn("__tok", C.tokens(text_col)).withColumn(
+        "__h", C.token_hashes32("__tok")
+    )
+    return t.select(
+        F.col(id_col),
+        C.simhash32("__h").alias("simhash"),
+        F.size("__tok").cast("long").alias("n_tokens"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose 32-bit simhash differs by <= max_hamming bits.
+
+    Banding on the 4 fingerprint bytes (pigeonhole: hamming<=3 ⇒ at least
+    one byte equal) keeps this an equi-join rather than a cross join.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col).select(id_col, "simhash")
+    bands = fp.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("byte_idx"),
+                        F.expr(f"(shiftright(simhash, {8 * b}) & 255L)").alias("byte_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.byte_idx", "band.byte_val")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.byte_idx") == F.col("b.byte_idx"),
+                F.col("a.byte_val") == F.col("b.byte_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: sign-sketch LSH buckets + exact (quantized)
+    cosine verification. The sketch is the sign pattern against n_planes
+    pseudo-random hyperplanes derived from dimension parity — per-row math,
+    zero shuffle until the bucket join."""
+    q = emb.select(F.col(id_col).alias("vec_id"), C.quantize(vec_col).alias("qv"))
+    bucketed = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
+    pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
+        )
+    )
+    cos = C.int_dot("qa", "qb").cast("double") / (C.int_norm("qa") * C.int_norm("qb"))
+    return pairs.select(
+        "vec_a", "vec_b", cos.alias("cosine")
+    ).filter(F.col("cosine") >= min_cosine)

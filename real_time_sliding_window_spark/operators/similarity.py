@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the scale doctrine:
+
+- **brute-force top-k** (the correctness baseline): broadcast the (small)
+  query set against the full corpus; cosine on quantized int64 vectors so
+  results are bit-identical to the DuckDB oracle; top-k via a per-query
+  window — the shuffle is only |queries| × |corpus| similarity rows, and at
+  scale you'd pre-filter by norm bounds or sketch buckets first.
+- **IVF-style bucketed top-k** (the scale path): assign every vector to a
+  coarse bucket (sign sketch — same per-row math as dedup's LSH), search
+  only the query's bucket (+ optional neighbor probes). Recall < 1 by
+  construction; the benchmark compares its overlap against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_sliding_window_spark.functions import columns as C
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(F.col(id_col).alias("vec_id"), C.quantize(vec_col).alias("qv"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine, quantized) for the given query ids.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k by
+    (cosine desc, neighbor_id) — fully deterministic.
+    """
+    q = _quantized(emb, id_col, vec_col)
+    queries = q.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    pairs = F.broadcast(queries).crossJoin(q).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = C.int_dot("q_qv", "qv").cast("double") / (
+        C.int_norm("q_qv") * C.int_norm("qv")
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: search only vectors sharing the query's sign-sketch
+    bucket. Same output schema as cosine_topk (rank within the bucket)."""
+    q = _quantized(emb, id_col, vec_col)
+    bucketed = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
+    queries = bucketed.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = F.broadcast(queries).join(
+        bucketed, on=[F.col("q_bucket") == F.col("bucket")]
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    cos = C.int_dot("q_qv", "qv").cast("double") / (
+        C.int_norm("q_qv") * C.int_norm("qv")
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

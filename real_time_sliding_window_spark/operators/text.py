@@ -1,0 +1,119 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All per-row math is JVM-side higher-order functions over the shared token
+column (functions/columns.py); outputs are integers or md5 hex so the
+DuckDB oracle matches bit-for-bit. These are the per-document scoring
+passes a training-data pipeline runs before filtering — embarrassingly
+parallel, zero shuffle until the final (optional) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.functions import columns as C
+
+# tiny per-language stopword inventories (n-gram-heuristic language ID)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "que", "los", "una", "es"],
+    "fr": ["le", "les", "et", "des", "une", "est"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
+
+
+def _hits(tokens_col: str, words: list[str]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({tokens_col}, t -> array_contains(array({arr}), t)))"
+    ).cast("long")
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-hit language scores + argmax prediction (tie: LANG_ORDER)."""
+    t = df.withColumn("__tok", C.tokens(text_col))
+    hit_cols = {lang: _hits("__tok", STOPWORDS[lang]) for lang in LANG_ORDER}
+    out = t.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_ORDER],
+    )
+    # first language (in LANG_ORDER) whose hit count ties the max — a CASE
+    # cascade with the same shape as the DuckDB oracle
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer quality features + a 0-1000 composite score.
+
+    Features: token count, distinct-token count, alnum char count, non-alnum
+    (punct/space) count; score = distinct/total ratio in per-mille, floored —
+    exact integer semantics on both engines.
+    """
+    t = df.withColumn("__tok", C.tokens(text_col))
+    n_tok = F.size("__tok").cast("long")
+    n_distinct = F.expr("size(array_distinct(__tok))").cast("long")
+    alnum_chars = F.expr(
+        "aggregate(__tok, 0L, (a, t) -> a + length(t))"
+    ).cast("long")
+    total_chars = F.length(text_col).cast("long")
+    score = F.when(n_tok > 0, F.floor(F.lit(1000) * n_distinct / n_tok)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return t.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        alnum_chars.alias("alnum_chars"),
+        (total_chars - alnum_chars).alias("other_chars"),
+        score.alias("distinct_permille"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace words vs regex tokens vs a BPE-ish subword estimate.
+
+    The subword estimate counts 4-char chunks per token (ceil(len/4)) — the
+    standard chars/4 heuristic, exact in integer math.
+    """
+    t = df.withColumn("__tok", C.tokens(text_col))
+    ws_words = F.size(F.split(F.col(text_col), " ")).cast("long")
+    re_tokens = F.size("__tok").cast("long")
+    subwords = F.expr(
+        "aggregate(__tok, 0L, (a, t) -> a + cast(ceil(length(t) / 4.0) as long))"
+    )
+    return t.select(
+        F.col(id_col),
+        ws_words.alias("ws_words"),
+        re_tokens.alias("re_tokens"),
+        subwords.alias("subword_est"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalized-content fingerprint: md5 over the canonical token join —
+    whitespace/punct/case-insensitive document identity."""
+    t = df.withColumn("__tok", C.tokens(text_col))
+    return t.select(
+        F.col(id_col),
+        F.md5(F.array_join("__tok", " ")).alias("fingerprint"),
+        F.md5(F.array_join(F.slice("__tok", 1, 8), " ")).alias("prefix_fingerprint"),
+    )

@@ -1,0 +1,182 @@
+"""Tests for the training-data pipeline operators (dedup, similarity, text,
+multimodal) and skew handling (F8)."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark import synth
+from real_time_sliding_window_spark.operators import dedup, multimodal, similarity, text
+from real_time_sliding_window_spark.operators.skew import salted_windowed_agg
+from real_time_sliding_window_spark.operators.windows import windowed_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "completely different content about der die und das spark engine",
+                "el gato la casa que los perros una fiesta",
+                "short",
+                "",
+                "Punct!! and,, CAPS 42 tokens?",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dedup.exact_dedup(docs).toPandas()
+        assert len(out) == 7  # 8 docs, one exact pair
+        dup_row = out[out.n_dupes == 2]
+        assert len(dup_row) == 1 and dup_row.iloc[0]["canonical_id"] == 0
+
+    def test_minhash_lsh_finds_neardups(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, min_jaccard=0.2).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+        # the exact pair (0,2) must surface; the near pair (0,1)/(1,2) likely
+        assert (0, 2) in got
+        for _, r in pairs.iterrows():
+            assert r["jaccard"] >= 0.2
+            assert r["union_sz"] >= r["inter"] > 0
+
+    def test_simhash_fingerprints(self, docs, spark):
+        fp = dedup.simhash_fingerprints(docs).toPandas().set_index("doc_id")
+        # identical docs -> identical fingerprints
+        assert fp.loc[0, "simhash"] == fp.loc[2, "simhash"]
+        assert fp.loc[0, "simhash"] != fp.loc[3, "simhash"]
+        assert (fp["simhash"] >= 0).all()
+        # empty doc: zero tokens
+        assert fp.loc[6, "n_tokens"] == 0
+
+    def test_simhash_neardup_pairs(self, docs):
+        pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+        assert (0, 2) in got  # hamming 0
+        assert (pairs.hamming <= 3).all()
+
+    def test_embedding_neardup(self, spark):
+        base = np.eye(4, dtype=np.float32)[[0, 0, 1, 2]]
+        base[1, 1] = 0.01  # near-dup of row 0
+        pdf = pd.DataFrame(
+            {"vec_id": range(4), "embedding": [list(map(float, r)) for r in base]}
+        )
+        emb = spark.createDataFrame(pdf)
+        pairs = dedup.embedding_neardup_pairs(emb, min_cosine=0.95).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.vec_a, pairs.vec_b)}
+        assert (0, 1) in got
+        assert all(c >= 0.95 for c in pairs.cosine)
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = similarity.cosine_topk(emb, query_ids=range(5), k=3).toPandas()
+        assert set(out.query_id) == set(range(5))
+        assert (out.groupby("query_id").size() == 3).all()
+        for qid, grp in out.groupby("query_id"):
+            g = grp.sort_values("rank")
+            assert list(g["rank"]) == [1, 2, 3]
+            assert g["cosine"].is_monotonic_decreasing or len(set(g["cosine"])) < 3
+            assert not (g["neighbor_id"] == qid).any()
+
+    def test_ivf_subset_of_bucket(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = similarity.cosine_topk(emb, query_ids=range(5), k=3).toPandas()
+        approx = similarity.ivf_topk(emb, query_ids=range(5), k=3).toPandas()
+        # approximate ranks are valid and cosines can't beat exact rank-1
+        best_exact = exact[exact["rank"] == 1].set_index("query_id")["cosine"]
+        best_approx = approx[approx["rank"] == 1].set_index("query_id")["cosine"]
+        for q in best_approx.index:
+            assert best_approx[q] <= best_exact[q] + 1e-12
+
+
+class TestText:
+    def test_language_id(self, docs):
+        out = text.language_id(docs).toPandas().set_index("doc_id")
+        assert out.loc[0, "predicted_lang"] == "en"
+        assert out.loc[3, "predicted_lang"] == "de"
+        assert out.loc[4, "predicted_lang"] == "es"
+        assert out.loc[6, "predicted_lang"] == "en"  # empty: tie -> order
+
+    def test_quality_scores(self, docs):
+        out = text.quality_scores(docs).toPandas().set_index("doc_id")
+        assert out.loc[6, "n_tokens"] == 0 and out.loc[6, "distinct_permille"] == 0
+        # doc 0: 9 tokens, 8 distinct ('the' twice)
+        assert out.loc[0, "n_tokens"] == 9
+        assert out.loc[0, "n_distinct_tokens"] == 8
+        assert out.loc[0, "distinct_permille"] == int(1000 * 8 / 9)
+
+    def test_token_counts(self, docs):
+        out = text.token_counts(docs).toPandas().set_index("doc_id")
+        assert out.loc[7, "re_tokens"] == 5  # punct, and, caps, 42, tokens
+        assert out.loc[5, "subword_est"] == 2  # 'short' -> ceil(5/4)
+
+    def test_fingerprints_normalize(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["Hello,  World!", "hello world"],
+            }
+        )
+        out = text.fingerprints(spark.createDataFrame(pdf)).toPandas()
+        assert out.iloc[0]["fingerprint"] == out.iloc[1]["fingerprint"]
+
+
+class TestMultimodal:
+    def test_feature_extraction_schema_and_shape(self, spark):
+        media = multimodal.synthesize_media(spark, n=24)
+        feats = multimodal.extract_features(media, feature_dim=16).toPandas()
+        assert len(feats) == 24
+        assert all(len(f) == 16 for f in feats["features"])
+        assert (feats["n_bytes"] > 0).all()
+        # deterministic: same payload -> same hash across runs
+        feats2 = multimodal.extract_features(media, feature_dim=16).toPandas()
+        assert list(feats.sort_values("media_id")["content_hash"]) == list(
+            feats2.sort_values("media_id")["content_hash"]
+        )
+
+    def test_frame_sample_plan(self, spark):
+        media = multimodal.synthesize_media(spark, n=9)
+        frames = multimodal.frame_sample(media, every_ms=1000).toPandas()
+        per_media = frames.groupby("media_id").size()
+        assert (per_media == 5).all()  # 5000ms / 1000ms
+
+
+class TestSkew:
+    def test_salted_agg_matches_unsalted(self, spark):
+        """F8: identical results with and without salting."""
+        pdf = synth.f8_skew_rows(hot_turns=2000, n_cold=50, cold_turns=10)
+        df = synth.to_spark(spark, pdf)
+        plain = windowed_agg(
+            df, "ts", timedelta(minutes=10), keys=["conv_id"],
+            content_payload=["text"], order_cols=["turn_idx"],
+        )
+        salted = salted_windowed_agg(
+            df, "ts", timedelta(minutes=10), keys=["conv_id"], n_salts=8,
+            content_payload=["text"], order_cols=["turn_idx"],
+        )
+        a = plain.select(
+            "window_start", "conv_id", "n_rows", "first_ts", "last_ts",
+            F.array_join(F.transform("content", lambda x: x["text"]), ",").alias("cs"),
+        ).toPandas().sort_values(["window_start", "conv_id"]).reset_index(drop=True)
+        b = salted.select(
+            "window_start", "conv_id", "n_rows", "first_ts", "last_ts",
+            F.array_join(F.transform("content", lambda x: x["text"]), ",").alias("cs"),
+        ).toPandas().sort_values(["window_start", "conv_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
