@@ -198,6 +198,27 @@ def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
 
 
+def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join, no LSH)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
+    ev = _events(spark, sf_dir)
+    return W.top_k_per_key(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        keys=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+
+
+def q_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user_id, event_type) pairs — hash-aggregate distinct."""
+    return _events(spark, sf_dir).select("user_id", "event_type").distinct()
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprints."""
     return D.simhash_fingerprints(_docs(spark, sf_dir))
@@ -288,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": q_text_stats_docs,
         "lineitem_pricing": q_lineitem_pricing,
         "minhash_neardup_docs": q_minhash_neardup_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "topk_events_per_user": q_topk_events_per_user,
+        "distinct_user_types": q_distinct_user_types,
         "simhash_docs": q_simhash_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "embedding_neardup": q_embedding_neardup,
@@ -482,6 +506,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) AS jaccard
             FROM verified
             WHERE CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) >= 0.2
+        """,
+        "ngram_jaccard_docs": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                FROM base
+            ),
+            idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            sizes AS (
+                SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
+            ),
+            it AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM idx a
+                JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.sz + sb.sz - inter AS union_sz,
+                   CAST(inter AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+            FROM it
+            JOIN sizes sa ON sa.doc_id = it.doc_a
+            JOIN sizes sb ON sb.doc_id = it.doc_b
+            WHERE CAST(inter AS DOUBLE)
+                      / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+        """,
+        "topk_events_per_user": """
+            SELECT user_id, event_id, event_type, ts, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT user_id, event_id, event_type, ts,
+                    row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts DESC, event_id ASC) AS rank
+                FROM events
+            )
+            WHERE rank <= 3
+        """,
+        "distinct_user_types": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "simhash_docs": f"""
             WITH t AS (

@@ -104,6 +104,67 @@ def minhash_lsh_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted index.
+
+    Unlike minhash_lsh_pairs (probabilistic candidates), this is the exact
+    variant: explode DISTINCT word k-grams into an inverted index, self-join
+    on the shingle (equi-join — candidate pairs are exactly the pairs sharing
+    ≥1 shingle), count shared shingles per pair, then
+    ``jaccard = inter / (|A| + |B| − inter)``. Only pairs with at least one
+    common shingle ever materialize, so there is no O(n²) cross join.
+
+    Scale note: at 100 TB the index join's hot keys are high-document-
+    frequency shingles (stopword runs). The production guard is a df-cap on
+    the index (drop shingles with df > threshold from candidate generation,
+    then verify survivors exactly) — that is what minhash_lsh_pairs'
+    band join achieves probabilistically; this operator is the exact
+    verifier / small-to-medium-corpus path, kept cap-free so the DuckDB
+    oracle is expression-identical.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(C.word_shingles(text_col, shingle_k)).alias("__sh"),
+    )
+    index = base.select("doc_id", F.explode("__sh").alias("shingle"))
+    sizes = base.select("doc_id", F.size("__sh").cast("long").alias("sz"))
+    inter = (
+        index.alias("a")
+        .join(
+            index.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        out.select(
+            "doc_a",
+            "doc_b",
+            F.col("inter"),
+            union.alias("union_sz"),
+            (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

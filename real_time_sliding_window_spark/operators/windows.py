@@ -205,6 +205,27 @@ def on_demand_view(
     return out.withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
 
 
+def top_k_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per key via a ranked analytic window (sort/limit Table B
+    category). The physical plan is a single shuffle on ``keys`` followed by
+    a per-partition sort — Spark 3.5+/4.x inserts a WindowGroupLimit
+    (rank-limit pushdown) so each map task keeps only k rows per key before
+    the shuffle; no global sort, no driver collection."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def ordered_turns(
     df: DataFrame,
     keys: Sequence[str],

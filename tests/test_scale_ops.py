@@ -55,6 +55,20 @@ class TestDedup:
             assert r["jaccard"] >= 0.2
             assert r["union_sz"] >= r["inter"] > 0
 
+    def test_ngram_jaccard_exact(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2).toPandas()
+        by_pair = {
+            tuple(sorted((int(r.doc_a), int(r.doc_b)))): r for r in pairs.itertuples()
+        }
+        # exact dup pair: jaccard exactly 1.0
+        assert (0, 2) in by_pair and by_pair[(0, 2)].jaccard == 1.0
+        # near-dup (one word differs): 7 shingles each, 6 shared -> 6/8
+        assert (0, 1) in by_pair and by_pair[(0, 1)].jaccard == pytest.approx(6 / 8)
+        # unrelated docs never pair up
+        assert not any(3 in p or 4 in p for p in by_pair)
+        for r in pairs.itertuples():
+            assert r.union_sz == r.inter / r.jaccard
+
     def test_simhash_fingerprints(self, docs, spark):
         fp = dedup.simhash_fingerprints(docs).toPandas().set_index("doc_id")
         # identical docs -> identical fingerprints

@@ -184,6 +184,27 @@ def test_session_window(spark):
     assert rows[1]["n_rows"] == 2
 
 
+def test_top_k_per_key(spark):
+    from pyspark.sql import functions as F
+
+    df = synth.to_spark(spark, synth.f1_window_content_rows(NOW))
+    top = W.top_k_per_key(
+        df,
+        keys=["conv_id", "role"],
+        order_by=[F.col("ts").desc(), F.col("turn_idx").desc()],
+        k=2,
+    )
+    pdf = top.toPandas()
+    # k rows per (conv_id, role) group, ranks 1..k
+    for _, g in pdf.groupby(["conv_id", "role"]):
+        assert sorted(g["rank"]) == [1, 2]
+        # the kept rows are the latest by (ts, turn_idx)
+        full = df.toPandas()
+        sel = full[(full.conv_id == g.iloc[0].conv_id) & (full.role == g.iloc[0].role)]
+        expect = sel.sort_values(["ts", "turn_idx"], ascending=False).head(2)
+        assert set(g["turn_idx"]) == set(expect["turn_idx"])
+
+
 def test_ordered_turns_rank(spark):
     df = synth.to_spark(spark, synth.f1_window_content_rows(NOW))
     ranked = W.ordered_turns(df, keys=["conv_id"]).collect()
