@@ -268,6 +268,80 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
 
 
+def _minhash_oracle_sql(
+    n_hashes: int = 12, bands: int = 4, rows_per_band: int = 3,
+    min_jaccard: float = 0.2,
+) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: universal-hash minhash
+    (sig_j = min (a_j*x + b_j) mod P over 28-bit shingle hashes x — exact
+    int64 on both engines), md5 band keys, count-based exact verify."""
+    from real_time_sliding_window_spark.functions.columns import (
+        MINHASH_A, MINHASH_B, MINHASH_P,
+    )
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {MINHASH_A[j]} + {MINHASH_B[j]}) "
+        f"% {MINHASH_P}))"
+        for j in range(n_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"sg[{b * rows_per_band + r + 1}]::VARCHAR" for r in range(rows_per_band)
+        ) + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                list_distinct(
+                    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+            FROM base
+        ),
+        h AS (
+            SELECT doc_id, shingles,
+                list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+            FROM sh
+        ),
+        sig AS (SELECT doc_id, [{sig_elems}] AS sg FROM h),
+        bands_t AS (
+            SELECT doc_id, b.k AS band_idx, bk[b.k + 1] AS band_key
+            FROM (SELECT doc_id, [{band_exprs}] AS bk FROM sig),
+                 LATERAL (SELECT unnest(generate_series(0, {bands - 1})) AS k) b
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_t a
+            JOIN bands_t b ON a.band_idx = b.band_idx
+                          AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh),
+        it AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN idx ia ON ia.doc_id = c.doc_a
+            JOIN idx ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter,
+               sa.sz + sb.sz - inter AS union_sz,
+               CAST(inter AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM it
+        JOIN sizes sa ON sa.doc_id = it.doc_a
+        JOIN sizes sb ON sb.doc_id = it.doc_b
+        WHERE CAST(inter AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {min_jaccard}
+    """
+
+
 def _simhash_sql_expr() -> str:
     terms = []
     for j in range(32):
@@ -461,52 +535,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
         """,
-        "minhash_neardup_docs": """
-            WITH base AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ),
-            sh AS (
-                SELECT doc_id,
-                    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-                                   i -> array_to_string(w[i:i+2], ' ')) AS shingles
-                FROM base
-            ),
-            sig AS (
-                SELECT doc_id, shingles,
-                    list_transform(generate_series(0, 11),
-                        j -> list_min(list_transform(shingles,
-                                                     s -> md5(s || '#' || j)))) AS sg
-                FROM sh
-            ),
-            bands AS (
-                SELECT doc_id, b.k AS band_idx,
-                       md5(array_to_string(sg[b.k*3+1 : b.k*3+3], '|')) AS band_key
-                FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) b
-            ),
-            cand AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a
-                JOIN bands b ON a.band_idx = b.band_idx
-                           AND a.band_key = b.band_key
-                           AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            verified AS (
-                SELECT doc_a, doc_b,
-                    CAST(len(list_filter(list_distinct(sa.shingles),
-                             x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter,
-                    CAST(len(list_distinct(sa.shingles)) AS BIGINT)
-                        + CAST(len(list_distinct(sb.shingles)) AS BIGINT) AS sum_sizes
-                FROM cand
-                JOIN sh sa ON sa.doc_id = cand.doc_a
-                JOIN sh sb ON sb.doc_id = cand.doc_b
-            )
-            SELECT doc_a, doc_b, inter,
-                   (sum_sizes - inter) AS union_sz,
-                   CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) AS jaccard
-            FROM verified
-            WHERE CAST(inter AS DOUBLE) / CAST(sum_sizes - inter AS DOUBLE) >= 0.2
-        """,
+        "minhash_neardup_docs": _minhash_oracle_sql(),
         "ngram_jaccard_docs": """
             WITH base AS (
                 SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -34,6 +34,8 @@ BATCH_QUERIES = [
     "ondemand_view_events",
     "dedup_exact_docs",
     "minhash_neardup_docs",
+    "ngram_jaccard_docs",
+    "topk_events_per_user",
     "simhash_docs",
     "ann_cosine_topk",
     "quality_docs",
@@ -50,6 +52,9 @@ def bench_batch(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # warmup: exercise scan + shuffle machinery once so the first timed
+    # query doesn't carry JVM/codegen/session warmup
+    force(qs["tumbling_events"](spark, sf_dir))
     out = {}
     for name in BATCH_QUERIES:
         t0 = time.monotonic()

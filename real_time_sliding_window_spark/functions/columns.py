@@ -64,6 +64,72 @@ def band_keys(sig_col: str, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+# Universal-hash minhash family: h_j(x) = (a_j*x + b_j) mod MINHASH_P over a
+# 28-bit base hash. With x < 2^28 and a_j,b_j < 2^31 the product stays under
+# 2^59 — exact in int64 on Spark AND DuckDB (no silent wrap, no overflow
+# error), so the oracle is bit-identical. Derived deterministically from
+# Knuth's multiplicative constant.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [(2654435761 * (j + 1)) % MINHASH_P for j in range(64)]
+MINHASH_B = [(40503 * (j + 7)) % MINHASH_P for j in range(64)]
+
+
+def shingles_from_words(words_col: str, k: int = 3) -> Column:
+    """Word k-gram shingles from a pre-split words array column.
+
+    Takes the words ARRAY, not the text: higher-order functions are
+    interpreted (no codegen), so any expression inside the lambda is
+    re-evaluated per element — ``slice(split(text), i, k)`` would re-split
+    the whole document once per shingle (O(words²) per doc). Keep
+    ``split`` in an upstream projection (materialized across an exchange)
+    so the lambda slices a bound array reference.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(size({words_col}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({words_col}, i, {k}), ' '))"
+    )
+
+
+def hash_shingles28(shingles_col: str) -> Column:
+    """One 28-bit integer hash per shingle (first 7 md5 hex chars).
+
+    The single expensive (md5) pass over the shingles — everything
+    downstream (12 minhash permutations, band keys) is integer arithmetic
+    over this array, so this column should be materialized (exchange or
+    cache) before fanning out.
+    """
+    return F.expr(
+        f"transform({shingles_col}, "
+        f"s -> cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+
+
+def int_minhash_band_keys(
+    hashes_col: str, n_hashes: int, bands: int, rows_per_band: int
+) -> Column:
+    """LSH band keys from the 28-bit shingle-hash array.
+
+    sig_j = min over shingle hashes x of (a_j*x + b_j) mod P — each of the
+    n_hashes permutations references ``hashes_col`` exactly once, and the
+    per-element work is two int ops (vs an md5 per (shingle, j) in the
+    naive scheme). Band key = md5 of the '|'-joined signature slice.
+    """
+    sig = [
+        F.array_min(
+            F.expr(
+                f"transform({hashes_col}, "
+                f"x -> (x * {MINHASH_A[j]}L + {MINHASH_B[j]}L) % {MINHASH_P}L)"
+            )
+        ).cast("string")
+        for j in range(n_hashes)
+    ]
+    keys = [
+        F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
 def token_hashes32(tokens_col: str) -> Column:
     """Per-token 32-bit hash: first 8 md5 hex chars as a long."""
     return F.expr(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_sliding_window_spark.functions import columns as C
+from real_time_sliding_window_spark.util import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -63,15 +64,31 @@ def minhash_lsh_pairs(
     Jaccard for verification. Output: (doc_a, doc_b, inter, union, jaccard).
     """
     rows_per_band = n_hashes // bands
-    base = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("__sh", C.word_shingles("text", shingle_k))
-        .withColumn("__sig", C.minhash_signature("__sh", n_hashes))
-        .withColumn("__bands", C.band_keys("__sig", bands, rows_per_band))
+    # Stage the computation so every expensive expression evaluates exactly
+    # once (higher-order lambdas are interpreted and CollapseProject inlines
+    # multiply-referenced columns — see functions/columns.py docstrings):
+    #   scan → split(text) → [exchange: parallelism + words materialized]
+    #   → distinct shingles → 28-bit md5 hash per shingle
+    #   → [exchange: hash array materialized before the 12-way fan-out]
+    #   → integer minhash permutations → band keys → explode → self-join.
+    words = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
     )
-    banded = base.select(
+    shd = words.select(
         "doc_id",
-        F.posexplode("__bands").alias("band_idx", "band_key"),
+        F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__shd"),
+    )
+    hashed = shd.select("doc_id", C.hash_shingles28("__shd").alias("__h")).repartition(
+        "doc_id"
+    )
+    banded = hashed.select(
+        "doc_id",
+        F.posexplode(
+            C.int_minhash_band_keys("__h", n_hashes, bands, rows_per_band)
+        ).alias("band_idx", "band_key"),
     )
     cand = (
         banded.alias("a")
@@ -88,20 +105,43 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = base.select("doc_id", "__sh")
-    verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+    # Exact verification, count-based: intersection = shared DISTINCT
+    # shingles counted on the inverted index restricted to candidate pairs.
+    # This replaces a per-pair O(|A|·|B|) array scan with two equi-joins and
+    # a count — the per-pair cost is O(|A∩B|), and the joins are hash joins
+    # on doc ids (candidate side is small, so Catalyst broadcasts it).
+    distinct_sh = shd.select("doc_id", F.explode("__shd").alias("shingle"))
+    sizes = shd.select("doc_id", F.size("__shd").cast("long").alias("sz"))
+    ex_a = distinct_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle")
     )
-    inter, union = C.jaccard_parts("sh_a", "sh_b")
-    out = verified.select(
+    ex_b = distinct_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle")
+    )
+    inter_counts = (
+        cand.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter_counts.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return out.select(
         "doc_a",
         "doc_b",
-        inter.alias("inter"),
+        F.col("inter"),
         union.alias("union_sz"),
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
-    )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+        (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def ngram_jaccard_pairs(
@@ -128,9 +168,15 @@ def ngram_jaccard_pairs(
     verifier / small-to-medium-corpus path, kept cap-free so the DuckDB
     oracle is expression-identical.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(C.word_shingles(text_col, shingle_k)).alias("__sh"),
+    words = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+    )
+    base = words.select(
+        "doc_id",
+        F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__sh"),
     )
     index = base.select("doc_id", F.explode("__sh").alias("shingle"))
     sizes = base.select("doc_id", F.size("__sh").cast("long").alias("sz"))
@@ -169,7 +215,7 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document 32-bit simhash fingerprint + token count."""
-    t = df.withColumn("__tok", C.tokens(text_col)).withColumn(
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col)).withColumn(
         "__h", C.token_hashes32("__tok")
     )
     return t.select(

@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from real_time_sliding_window_spark.functions import columns as C
+from real_time_sliding_window_spark.util import ensure_parallelism
 
 
 def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    emb = ensure_parallelism(emb)
     return emb.select(F.col(id_col).alias("vec_id"), C.quantize(vec_col).alias("qv"))
 
 

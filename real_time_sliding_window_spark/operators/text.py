@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from real_time_sliding_window_spark.functions import columns as C
+from real_time_sliding_window_spark.util import ensure_parallelism
 
 # tiny per-language stopword inventories (n-gram-heuristic language ID)
 STOPWORDS = {
@@ -36,7 +37,7 @@ def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Stopword-hit language scores + argmax prediction (tie: LANG_ORDER)."""
-    t = df.withColumn("__tok", C.tokens(text_col))
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
     hit_cols = {lang: _hits("__tok", STOPWORDS[lang]) for lang in LANG_ORDER}
     out = t.select(
         F.col(id_col),
@@ -64,7 +65,7 @@ def quality_scores(
     (punct/space) count; score = distinct/total ratio in per-mille, floored —
     exact integer semantics on both engines.
     """
-    t = df.withColumn("__tok", C.tokens(text_col))
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
     n_tok = F.size("__tok").cast("long")
     n_distinct = F.expr("size(array_distinct(__tok))").cast("long")
     alnum_chars = F.expr(
@@ -92,7 +93,7 @@ def token_counts(
     The subword estimate counts 4-char chunks per token (ceil(len/4)) — the
     standard chars/4 heuristic, exact in integer math.
     """
-    t = df.withColumn("__tok", C.tokens(text_col))
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
     ws_words = F.size(F.split(F.col(text_col), " ")).cast("long")
     re_tokens = F.size("__tok").cast("long")
     subwords = F.expr(
@@ -111,7 +112,7 @@ def fingerprints(
 ) -> DataFrame:
     """Normalized-content fingerprint: md5 over the canonical token join —
     whitespace/punct/case-insensitive document identity."""
-    t = df.withColumn("__tok", C.tokens(text_col))
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
     return t.select(
         F.col(id_col),
         F.md5(F.array_join("__tok", " ")).alias("fingerprint"),
