@@ -79,43 +79,19 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _ts_to_us(series: pd.Series) -> pd.Series:
-    """Robust datetime64[any-unit] -> int64 microseconds (pandas 2 may hand
-    Arrow batches over as datetime64[us] or [ns] depending on the path)."""
-    return series.astype("datetime64[us]").astype("int64")
-
-
-def _buffer_frame(state_tuple) -> pd.DataFrame:
-    ts_us, turn_idx, role, text, tool = state_tuple
-    return pd.DataFrame(
-        {
-            "ts_us": np.asarray(ts_us, dtype=np.int64),
-            "turn_idx": np.asarray(turn_idx, dtype=np.int32),
-            "role": role,
-            "text": text,
-            "tool": tool,
-        }
-    )
-
-
-def _out_rows(conv_id: str, pdf: pd.DataFrame, action: str, reason, size: int) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "conv_id": conv_id,
-            "action": action,
-            "reason": reason,
-            "turn_idx": pdf["turn_idx"].astype("int32"),
-            "role": pdf["role"],
-            "text": pdf["text"],
-            "tool": pdf["tool"],
-            "ts": pd.to_datetime(pdf["ts_us"], unit="us"),
-            "buffer_size": np.int32(size),
-        }
-    )
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+_EMPTY_OBJ = np.empty(0, dtype=object)
 
 
 def make_ring_buffer_fn(max_duration: timedelta | None, max_data: int | None):
-    """Build the applyInPandasWithState body (a closure over the spec)."""
+    """Build the applyInPandasWithState body (a closure over the spec).
+
+    The body is pure numpy array algebra — no per-row Python and, just as
+    important at 10^4-10^5 groups per micro-batch, no pandas DataFrame
+    construction per group except the single output frame: with many small
+    conversation groups the per-group constant factor IS the throughput.
+    """
     max_dur_us = (
         round(max_duration.total_seconds() * 1e6) if max_duration is not None else None
     )
@@ -124,81 +100,126 @@ def make_ring_buffer_fn(max_duration: timedelta | None, max_data: int | None):
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
-        buf = (
-            _buffer_frame(state.get)
-            if state.exists
-            else _buffer_frame(([], [], [], [], []))
-        )
-        outputs: list[pd.DataFrame] = []
+        if state.exists:
+            s = state.get
+            b_ts = np.asarray(s[0], dtype=np.int64)
+            b_ti = np.asarray(s[1], dtype=np.int32)
+            b_role = np.asarray(s[2], dtype=object)
+            b_text = np.asarray(s[3], dtype=object)
+            b_tool = np.asarray(s[4], dtype=object)
+        else:
+            b_ts, b_ti = _EMPTY_I64, _EMPTY_I32
+            b_role = b_text = b_tool = _EMPTY_OBJ
+
+        # output accumulators: (action, reason, ts, ti, role, text, tool, size)
+        parts: list[tuple] = []
 
         if not state.hasTimedOut:
-            batch = pd.concat(list(pdfs), ignore_index=True)
-            batch = batch.sort_values(["ts", "turn_idx"], kind="mergesort")
-            # Set-dedup on row identity (conv_id, turn_idx)
-            dup_mask = batch["turn_idx"].isin(buf["turn_idx"]).to_numpy() | (
-                batch["turn_idx"].duplicated(keep="first").to_numpy()
-            )
-            dups = batch[dup_mask]
-            fresh = batch[~dup_mask]
-            if len(dups):
-                d = dups.assign(ts_us=_ts_to_us(dups["ts"]))
-                outputs.append(_out_rows(conv_id, d, "DUP", None, len(buf)))
-            if len(fresh):
-                add = pd.DataFrame(
-                    {
-                        "ts_us": _ts_to_us(fresh["ts"]),
-                        "turn_idx": fresh["turn_idx"].astype("int32"),
-                        "role": fresh["role"],
-                        "text": fresh["text"],
-                        "tool": fresh["tool"],
-                    }
+            chunks = list(pdfs)
+            batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            n_ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            n_ti = batch["turn_idx"].to_numpy().astype(np.int32, copy=False)
+            n_role = batch["role"].to_numpy(dtype=object)
+            n_text = batch["text"].to_numpy(dtype=object)
+            n_tool = batch["tool"].to_numpy(dtype=object)
+            order = np.lexsort((n_ti, n_ts))  # stable (ts, turn_idx)
+            n_ts, n_ti = n_ts[order], n_ti[order]
+            n_role, n_text, n_tool = n_role[order], n_text[order], n_tool[order]
+
+            # Set-dedup on row identity (conv_id, turn_idx): against state
+            # and within the batch (first occurrence in (ts, turn_idx) order
+            # wins — the skip-list Set semantics made explicit).
+            dup = np.isin(n_ti, b_ti)
+            _, first_pos = np.unique(n_ti, return_index=True)
+            intra = np.ones(len(n_ti), dtype=bool)
+            intra[first_pos] = False
+            dup |= intra
+            if dup.any():
+                parts.append(
+                    ("DUP", None, n_ts[dup], n_ti[dup], n_role[dup],
+                     n_text[dup], n_tool[dup], len(b_ts))
                 )
-                buf = pd.concat([buf, add], ignore_index=True)
-                buf = buf.sort_values(["ts_us", "turn_idx"], kind="mergesort").reset_index(
-                    drop=True
+            if not dup.all():
+                keep = ~dup
+                f_ts, f_ti = n_ts[keep], n_ti[keep]
+                f_role, f_text, f_tool = n_role[keep], n_text[keep], n_tool[keep]
+                b_ts = np.concatenate([b_ts, f_ts])
+                b_ti = np.concatenate([b_ti, f_ti])
+                b_role = np.concatenate([b_role, f_role])
+                b_text = np.concatenate([b_text, f_text])
+                b_tool = np.concatenate([b_tool, f_tool])
+                order = np.lexsort((b_ti, b_ts))
+                b_ts, b_ti = b_ts[order], b_ti[order]
+                b_role, b_text, b_tool = b_role[order], b_text[order], b_tool[order]
+                parts.append(
+                    ("ADD", None, f_ts, f_ti, f_role, f_text, f_tool, len(b_ts))
                 )
-                outputs.append(_out_rows(conv_id, add, "ADD", None, len(buf)))
 
         # --- age eviction: cutoff = watermark − max_duration -------------
         wm_us = state.getCurrentWatermarkMs() * 1000
-        if max_dur_us is not None and wm_us > 0:
+        if max_dur_us is not None and wm_us > 0 and len(b_ts):
             cutoff = wm_us - max_dur_us
-            aged = buf["ts_us"] < cutoff
-            if aged.any():
-                evicted = buf[aged]
-                outputs.append(
-                    _out_rows(conv_id, evicted, "EVICT", "age", int((~aged).sum()))
+            n_aged = int(np.searchsorted(b_ts, cutoff, side="left"))
+            if n_aged:
+                parts.append(
+                    ("EVICT", "age", b_ts[:n_aged], b_ti[:n_aged],
+                     b_role[:n_aged], b_text[:n_aged], b_tool[:n_aged],
+                     len(b_ts) - n_aged)
                 )
-                buf = buf[~aged].reset_index(drop=True)
+                b_ts, b_ti = b_ts[n_aged:], b_ti[n_aged:]
+                b_role, b_text, b_tool = (
+                    b_role[n_aged:], b_text[n_aged:], b_tool[n_aged:]
+                )
 
         # --- capacity eviction: oldest-first beyond max_data -------------
-        if max_data is not None and len(buf) > max_data:
-            n_evict = len(buf) - max_data
-            evicted = buf.iloc[:n_evict]
-            outputs.append(
-                _out_rows(conv_id, evicted, "EVICT", "capacity", max_data)
+        if max_data is not None and len(b_ts) > max_data:
+            k = len(b_ts) - max_data
+            parts.append(
+                ("EVICT", "capacity", b_ts[:k], b_ti[:k],
+                 b_role[:k], b_text[:k], b_tool[:k], max_data)
             )
-            buf = buf.iloc[n_evict:].reset_index(drop=True)
+            b_ts, b_ti = b_ts[k:], b_ti[k:]
+            b_role, b_text, b_tool = b_role[k:], b_text[k:], b_tool[k:]
 
-        if len(buf) == 0:
+        if len(b_ts) == 0:
             state.remove()
         else:
             state.update(
-                (
-                    buf["ts_us"].tolist(),
-                    buf["turn_idx"].tolist(),
-                    buf["role"].tolist(),
-                    buf["text"].tolist(),
-                    buf["tool"].tolist(),
-                )
+                (b_ts.tolist(), b_ti.tolist(), b_role.tolist(),
+                 b_text.tolist(), b_tool.tolist())
             )
             if max_dur_us is not None:
                 # wake when the oldest row expires (must be > watermark)
-                expire_ms = (int(buf["ts_us"].iloc[0]) + max_dur_us) // 1000
+                expire_ms = (int(b_ts[0]) + max_dur_us) // 1000
                 state.setTimeoutTimestamp(max(expire_ms, state.getCurrentWatermarkMs() + 1))
 
-        if outputs:
-            yield pd.concat(outputs, ignore_index=True)
+        if parts:
+            n_out = sum(len(p[2]) for p in parts)
+            action = np.empty(n_out, dtype=object)
+            reason = np.empty(n_out, dtype=object)
+            size = np.empty(n_out, dtype=np.int32)
+            at = 0
+            for p in parts:
+                m = len(p[2])
+                action[at:at + m] = p[0]
+                reason[at:at + m] = p[1]
+                size[at:at + m] = p[7]
+                at += m
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "action": action,
+                    "reason": reason,
+                    "turn_idx": np.concatenate([p[3] for p in parts]),
+                    "role": np.concatenate([p[4] for p in parts]),
+                    "text": np.concatenate([p[5] for p in parts]),
+                    "tool": np.concatenate([p[6] for p in parts]),
+                    "ts": np.concatenate([p[2] for p in parts]).astype(
+                        "datetime64[us]"
+                    ),
+                    "buffer_size": size,
+                }
+            )
 
     return fn
 

@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        # commit uploads changelogs instead of full snapshots — the
+        # recommended large-state setting, and it removes most of the
+        # per-commit disk floor that throttles micro-batch cadence
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

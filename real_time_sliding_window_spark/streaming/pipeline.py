@@ -57,9 +57,12 @@ def windowed_stream(
     aggs.extend(extra_aggs)
 
     out = wm.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(*aggs)
+    # session windows surface as session_start/session_end, matching the
+    # batch operator (operators/windows.py::session_agg)
+    prefix = "session" if spec.kind == "session" else "window"
     return out.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
+        F.col("window.start").alias(f"{prefix}_start"),
+        F.col("window.end").alias(f"{prefix}_end"),
         *[F.col(k) for k in keys],
         *[c for c in out.columns if c != "window" and c not in keys],
     )

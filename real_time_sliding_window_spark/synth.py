@@ -60,6 +60,7 @@ def _conv_slice(
     mean_turns: int,
     step: timedelta,
     conv_spread: timedelta,
+    text_rep: int = 1,
 ) -> pd.DataFrame:
     """Deterministic transcript rows for conversations [conv_lo, conv_hi).
 
@@ -105,6 +106,10 @@ def _conv_slice(
     role = ROLES[turn_idx % 3]
     conv_id = pd.Series(conv_rep).map(lambda i: f"c{i:06d}").astype("string")
     text = conv_id.str.cat(pd.Series(turn_idx).astype(str), sep="-t")
+    if text_rep > 1:
+        # realistic turn lengths for bench corpora: repeat the unique base
+        # token (still fully deterministic, still unique per (conv, turn))
+        text = text.str.cat((" " + text).str.repeat(text_rep - 1))
     tool = pd.Series(np.where(role == "tool", TOOLS[turn_idx % len(TOOLS)], None))
 
     return pd.DataFrame(
@@ -124,9 +129,10 @@ def transcripts_pandas(
     mean_turns: int = 10,
     step: timedelta = timedelta(seconds=30),
     conv_spread: timedelta = timedelta(hours=1),
+    text_rep: int = 1,
 ) -> pd.DataFrame:
     """Small-scale generator for pytest fixtures (driver-side, vectorized)."""
-    return _conv_slice(0, n_convs, mean_turns, step, conv_spread)
+    return _conv_slice(0, n_convs, mean_turns, step, conv_spread, text_rep)
 
 
 def transcripts_df(
@@ -136,6 +142,7 @@ def transcripts_df(
     step: timedelta = timedelta(seconds=30),
     conv_spread: timedelta = timedelta(hours=1),
     slice_size: int = 5000,
+    text_rep: int = 1,
 ) -> DataFrame:
     """Executor-parallel deterministic generator.
 
@@ -151,7 +158,7 @@ def transcripts_df(
             for s in pdf["id"].to_numpy():
                 lo = int(s) * slice_size
                 hi = min(lo + slice_size, n_convs)
-                yield _conv_slice(lo, hi, mean_turns, step, conv_spread)
+                yield _conv_slice(lo, hi, mean_turns, step, conv_spread, text_rep)
 
     return (
         spark.range(0, n_slices, 1, min(n_slices, 256))

@@ -123,6 +123,47 @@ class TestStreamingWindow:
         assert len(w0) == 1 and w0.iloc[0]["n_rows"] == 2  # both ts=0s and ts=1s
 
 
+    def test_streaming_session_window(self, spark, tmp_path):
+        """Session windows close when the watermark passes last_ts + gap."""
+        spec = WindowSpec(
+            name="sess-s", kind="session", gap="2 seconds",
+            watermark_delay="1 second",
+        )
+
+        def pipe(stream):
+            return windowed_stream(stream, spec, keys=["conv_id"])
+
+        s1 = rows(("c1", 0, "user", "a", None, 0), ("c1", 1, "user", "b", None, 1))
+        adv1 = rows(("c2", 0, "user", "adv", None, 10))   # wm -> 9: session 1 closes
+        s2 = rows(("c1", 2, "user", "c", None, 10))
+        adv2 = rows(("c2", 1, "user", "adv", None, 20))   # wm -> 19: session 2 closes
+        _, snaps = drive(spark, tmp_path, pipe, [s1, adv1, s2, adv2], "sess_s")
+        c1 = snaps[-1][snaps[-1].conv_id == "c1"].sort_values("session_start")
+        assert list(c1["n_rows"]) == [2, 1]
+        assert c1.iloc[0]["session_start"] == T0
+        assert c1.iloc[0]["session_end"] == T0 + 3 * SEC   # last ts (1s) + 2s gap
+        assert c1.iloc[1]["session_start"] == T0 + 10 * SEC
+        assert c1.iloc[1]["session_end"] == T0 + 12 * SEC
+
+    def test_streaming_sliding_window(self, spark, tmp_path):
+        """Sliding 2s/1s: each row lands in two overlapping windows."""
+        spec = WindowSpec(
+            name="slide-s", kind="sliding", length="2 seconds",
+            slide="1 second", watermark_delay="1 second",
+        )
+
+        def pipe(stream):
+            return windowed_stream(stream, spec, keys=["conv_id"])
+
+        data = rows(("c1", 0, "user", "a", None, 0), ("c1", 1, "user", "b", None, 1))
+        adv = rows(("c2", 0, "user", "adv", None, 30))
+        _, snaps = drive(spark, tmp_path, pipe, [data, adv], "slide_s")
+        c1 = snaps[-1][snaps[-1].conv_id == "c1"].sort_values("window_start")
+        # windows [-1,1): {a}, [0,2): {a,b}, [1,3): {b}
+        assert list(c1["n_rows"]) == [1, 2, 1]
+        assert list(c1["window_start"]) == [T0 - SEC, T0, T0 + SEC]
+
+
 # ---------------------------------------------------------------------------
 # Stateful ring buffer (F2, F3, F5)
 # ---------------------------------------------------------------------------
