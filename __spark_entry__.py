@@ -150,6 +150,45 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per user via the two-level SALTED aggregation
+    (operators/skew.py) — results are salt-invariant, so the oracle is the
+    plain single-level SQL; the driver hash-match proves the skew path is
+    semantically free."""
+    from real_time_sliding_window_spark.operators.skew import salted_windowed_agg
+
+    return salted_windowed_agg(
+        _events(spark, sf_dir),
+        "ts",
+        timedelta(hours=1),
+        keys=["user_id"],
+        salt_col="event_id",
+        n_salts=8,
+    )
+
+
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim broadcast join: orders x customer, per-mktsegment rollup
+    (the dimension side is broadcast — no shuffle of the fact table on the
+    join key; the only shuffle is the final small aggregation)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_totalprice_cents"
+            ),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication of documents by content hash: canonical id (min
     doc_id) + duplicate count per distinct text."""
@@ -379,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ondemand_view_events": q_ondemand_view_events,
         "window_content_events": q_window_content_events,
         "interval_join_events": q_interval_join_events,
+        "salted_window_events": q_salted_window_events,
+        "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
         "lineitem_pricing": q_lineitem_pricing,
@@ -503,6 +544,29 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 1 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "salted_window_events": """
+            SELECT
+                time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                user_id,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "orders_by_segment": """
+            SELECT
+                c_mktsegment,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_totalprice_cents,
+                min(o_orderdate) AS first_order,
+                max(o_orderdate) AS last_order
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "dedup_exact_docs": """
             SELECT

@@ -68,6 +68,25 @@ def windowed_stream(
     )
 
 
+def deduped_stream(
+    stream: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark_delay: timedelta = timedelta(seconds=30),
+) -> DataFrame:
+    """Idempotent-ingest guard: drop redelivered rows by identity key.
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only within the
+    watermark horizon (bounded state — the skip-list Set semantics of the
+    reference, OnDemandBucketedWindow.kt:53-58, with an explicit TTL). Use
+    upstream of windowed aggs when the source is at-least-once; the ring
+    buffer (operators/stateful.py) already dedups internally and emits DUP
+    rows instead of silently dropping.
+    """
+    wm = stream.withWatermark(ts_col, interval_str(watermark_delay))
+    return wm.dropDuplicatesWithinWatermark(list(keys))
+
+
 def user_tool_stream_join(
     transcripts: DataFrame,
     horizon: timedelta = timedelta(seconds=10),

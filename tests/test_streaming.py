@@ -21,6 +21,7 @@ from real_time_sliding_window_spark.config import WindowSpec
 from real_time_sliding_window_spark.operators.stateful import ring_buffer_stream
 from real_time_sliding_window_spark.sources.streams import FileFeed
 from real_time_sliding_window_spark.streaming.pipeline import (
+    deduped_stream,
     user_tool_stream_join,
     windowed_stream,
 )
@@ -122,6 +123,25 @@ class TestStreamingWindow:
                    & (final.window_start == T0)]
         assert len(w0) == 1 and w0.iloc[0]["n_rows"] == 2  # both ts=0s and ts=1s
 
+
+    def test_dropduplicates_within_watermark(self, spark, tmp_path):
+        """Redelivered (conv_id, turn_idx) within the watermark horizon is
+        dropped; the first delivery survives."""
+
+        def pipe(stream):
+            return deduped_stream(
+                stream, watermark_delay=timedelta(seconds=30)
+            )
+
+        first = rows(("c1", 0, "user", "orig", None, 0),
+                     ("c1", 1, "user", "second", None, 1))
+        redeliver = rows(("c1", 0, "user", "orig", None, 0))   # same identity
+        fresh = rows(("c1", 2, "user", "third", None, 2))
+        _, snaps = drive(spark, tmp_path, pipe,
+                         [first, redeliver, fresh], "ddwm")
+        final = snaps[-1]
+        assert sorted(final.turn_idx) == [0, 1, 2]
+        assert len(final) == 3  # the redelivery added nothing
 
     def test_streaming_session_window(self, spark, tmp_path):
         """Session windows close when the watermark passes last_ts + gap."""
