@@ -159,6 +159,65 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
     return results
 
 
+def bench_emit_latency(
+    spark, rows_per_second: int = 50_000, run_secs: int = 25
+) -> dict:
+    """True end-to-end window-emit latency under a live trigger.
+
+    A rate-source transcript stream (event time = wall clock) through the
+    conv-keyed tumbling window; for every emitted window row, latency =
+    sink-arrival wall time − (window_end + watermark_delay), i.e. how long
+    after a window BECAME emittable the engine delivered it. This is the
+    p99 the BASELINE metric names — batch durations only bound it.
+    """
+    from real_time_sliding_window_spark.config import WindowSpec
+    from real_time_sliding_window_spark.sources.streams import rate_stream
+    from real_time_sliding_window_spark.streaming.pipeline import windowed_stream
+
+    delay_s = 1.0
+    spec = WindowSpec(
+        name="lat", length="2 seconds", watermark_delay="1 second"
+    )
+    win = windowed_stream(
+        rate_stream(spark, rows_per_second), spec, keys=["conv_id"]
+    )
+    lats: list[float] = []
+
+    t_start = time.time()
+
+    def cap(df, _bid):
+        pdf = df.select("window_end").toPandas()
+        now = time.time()
+        # skip the query-start ramp (stream init + first watermark catch-up)
+        if len(pdf) and now - t_start > 8.0:
+            ends = pdf["window_end"].map(lambda t: t.timestamp())
+            lats.extend((now - (e + delay_s)) for e in ends)
+
+    ckpt = tempfile.mkdtemp(prefix="rtsw_lat_")
+    q = (
+        win.writeStream.foreachBatch(cap)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName("bench_latency")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(run_secs)
+    q.stop()
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not lats:
+        return {"emit_latency_windows": 0}
+    s = sorted(lats)
+    pick = lambda p: round(s[min(len(s) - 1, int(len(s) * p))], 3)
+    return {
+        "emit_latency_windows": len(s),
+        "emit_p50_s": pick(0.50),
+        "emit_p95_s": pick(0.95),
+        "emit_p99_s": pick(0.99),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -175,6 +234,7 @@ def main() -> None:
     t0 = time.monotonic()
     queries = bench_batch(spark, sf_dir)
     streaming = bench_streaming(spark, n_convs, mean_turns)
+    streaming.update(bench_emit_latency(spark))
     total = round(time.monotonic() - t0, 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
