@@ -242,6 +242,12 @@ def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
 
 
+def q_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: ngram-Jaccard pairs -> min-label
+    connected components -> (doc_id, cluster_id, cluster_size)."""
+    return D.neardup_clusters(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
     ev = _events(spark, sf_dir)
@@ -305,6 +311,63 @@ def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 fingerprints (full + 8-token prefix)."""
     return T.fingerprints(_docs(spark, sf_dir))
+
+
+_NGRAM_SQL = """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+            list_distinct(
+                list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM base
+    ),
+    idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
+    ),
+    it AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter
+        FROM idx a
+        JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           sa.sz + sb.sz - inter AS union_sz,
+           CAST(inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM it
+    JOIN sizes sa ON sa.doc_id = it.doc_a
+    JOIN sizes sb ON sb.doc_id = it.doc_b
+    WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_SQL}) p
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, peer) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+    ),
+    comp AS (SELECT doc AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY doc)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    ) s USING (cluster_id)
+"""
 
 
 def _minhash_oracle_sql(
@@ -425,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "neardup_clusters_docs": q_neardup_clusters_docs,
         "topk_events_per_user": q_topk_events_per_user,
         "distinct_user_types": q_distinct_user_types,
         "simhash_docs": q_simhash_docs,
@@ -600,38 +664,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "minhash_neardup_docs": _minhash_oracle_sql(),
-        "ngram_jaccard_docs": """
-            WITH base AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ),
-            sh AS (
-                SELECT doc_id,
-                    list_distinct(
-                        list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-                                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
-                FROM base
-            ),
-            idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-            sizes AS (
-                SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
-            ),
-            it AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       count(*) AS inter
-                FROM idx a
-                JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b, inter,
-                   sa.sz + sb.sz - inter AS union_sz,
-                   CAST(inter AS DOUBLE)
-                       / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-            FROM it
-            JOIN sizes sa ON sa.doc_id = it.doc_a
-            JOIN sizes sb ON sb.doc_id = it.doc_b
-            WHERE CAST(inter AS DOUBLE)
-                      / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
-        """,
+        "ngram_jaccard_docs": _NGRAM_SQL,
+        "neardup_clusters_docs": _CLUSTERS_SQL,
         "topk_events_per_user": """
             SELECT user_id, event_id, event_type, ts, CAST(rank AS INTEGER) AS rank
             FROM (

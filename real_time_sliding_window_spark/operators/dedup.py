@@ -211,6 +211,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label-propagation connected components over an edge list.
+
+    The standard large-scale CC: every vertex starts labeled with itself;
+    each round, every vertex takes the min of its own and its neighbors'
+    labels; converge when no label changes. Rounds needed ≈ graph diameter
+    (near-dup clusters are shallow), each round = one join + one
+    min-aggregate — all distributed, the driver only checks the converged
+    count. ``localCheckpoint`` truncates lineage per round so the plan
+    doesn't grow exponentially (at production scale, checkpoint to reliable
+    storage instead).
+
+    Output: (id_col, cluster_id) — cluster_id = min vertex id in the
+    component; deterministic, so DuckDB's recursive-CTE transitive closure
+    is an exact oracle.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        new = (
+            labels.union(msgs)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate cluster resolution: exact n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id, cluster_size). The
+    canonical representative of each cluster is its cluster_id (min doc);
+    a training pipeline keeps `doc_id == cluster_id` rows."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_k, min_jaccard)
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), df.select(id_col), id_col
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -69,6 +69,34 @@ class TestDedup:
         for r in pairs.itertuples():
             assert r.union_sz == r.inter / r.jaccard
 
+    def test_neardup_clusters(self, docs):
+        out = dedup.neardup_clusters(docs, min_jaccard=0.2).toPandas()
+        by_doc = out.set_index("doc_id")
+        # docs 0,1,2 form one near-dup component, canonical = 0
+        assert by_doc.loc[0, "cluster_id"] == 0
+        assert by_doc.loc[1, "cluster_id"] == 0
+        assert by_doc.loc[2, "cluster_id"] == 0
+        assert by_doc.loc[0, "cluster_size"] == 3
+        # unrelated docs are singletons labeled by themselves
+        for d in (3, 4, 5, 6, 7):
+            assert by_doc.loc[d, "cluster_id"] == d
+            assert by_doc.loc[d, "cluster_size"] == 1
+        assert len(out) == 8
+
+    def test_connected_components_chain(self, spark):
+        """A chain a-b, b-c, c-d collapses to one component via propagation
+        (needs >1 round — exercises the iteration, not just the join)."""
+        import pandas as pd
+
+        edges = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 3], "doc_b": [2, 3, 4]})
+        )
+        verts = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 9]}))
+        comp = dedup.connected_components(edges, verts).toPandas()
+        lab = comp.set_index("doc_id")["cluster_id"]
+        assert set(lab[[1, 2, 3, 4]]) == {1}
+        assert lab[9] == 9
+
     def test_simhash_fingerprints(self, docs, spark):
         fp = dedup.simhash_fingerprints(docs).toPandas().set_index("doc_id")
         # identical docs -> identical fingerprints
