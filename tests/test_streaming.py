@@ -402,3 +402,19 @@ class TestExactlyOnce:
         a = inc[cols].sort_values(cols).reset_index(drop=True)
         b = fresh[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIcebergGating:
+    def test_unavailable_raises_actionable_error(self, spark, tmp_path):
+        """No Iceberg jar in this sandbox: the production-path API must
+        refuse clearly (and point at the parquet twin), never half-write."""
+        from real_time_sliding_window_spark.streaming import iceberg
+
+        assert iceberg.iceberg_available(spark) is False
+        src_dir = tmp_path / "ice_in"
+        src_dir.mkdir()
+        stream = spark.readStream.schema(synth.TRANSCRIPT_SCHEMA).parquet(
+            str(src_dir)
+        )
+        with pytest.raises(RuntimeError, match="ExactlyOnceParquetSink"):
+            iceberg.write_stream_to_iceberg(stream, "rtsw.db.t", str(tmp_path / "ck"))
