@@ -81,8 +81,12 @@ def minhash_lsh_pairs(
         "doc_id",
         F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__shd"),
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # explicit partition count: a bare repartition(col) is AQE-coalescible
+    # right back to one partition at this data size, re-serializing the
+    # expensive column computation the barrier exists to spread out
     hashed = shd.select("doc_id", C.hash_shingles28("__shd").alias("__h")).repartition(
-        "doc_id"
+        par, "doc_id"
     )
     banded = hashed.select(
         "doc_id",
@@ -284,14 +288,26 @@ def neardup_clusters(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document 32-bit simhash fingerprint + token count."""
-    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col)).withColumn(
-        "__h", C.token_hashes32("__tok")
+    """Per-document 32-bit simhash fingerprint + token count.
+
+    The per-token md5 hashes are materialized across an exchange before the
+    32 bit-sum aggregates: simhash32 references the hash column 32 times,
+    and CollapseProject would otherwise inline (and recompute) the md5 pass
+    once per bit (see PLANS.md "expression-tree discipline")."""
+    hashed = (
+        ensure_parallelism(df)
+        .withColumn("__tok", C.tokens(text_col))
+        .select(
+            F.col(id_col),
+            C.token_hashes32("__tok").alias("__h"),
+            F.size("__tok").cast("long").alias("n_tokens"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
-    return t.select(
+    return hashed.select(
         F.col(id_col),
         C.simhash32("__h").alias("simhash"),
-        F.size("__tok").cast("long").alias("n_tokens"),
+        "n_tokens",
     )
 
 
@@ -306,7 +322,13 @@ def simhash_neardup_pairs(
     Banding on the 4 fingerprint bytes (pigeonhole: hamming<=3 ⇒ at least
     one byte equal) keeps this an equi-join rather than a cross join.
     """
-    fp = simhash_fingerprints(df, id_col, text_col).select(id_col, "simhash")
+    # barrier: the 4 byte-band expressions each reference `simhash`; without
+    # materialization the whole 32-aggregate fingerprint is recomputed per band
+    fp = (
+        simhash_fingerprints(df, id_col, text_col)
+        .select(id_col, "simhash")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    )
     bands = fp.select(
         F.col(id_col).alias("doc_id"),
         "simhash",
