@@ -232,6 +232,33 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotals + grand total in one pass
+    (Catalyst expands grouping sets into a single Expand + hash agg — no
+    re-scan per level)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).cast("long").alias("sum_qty"),
+    )
+
+
+def q_click_not_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): (user, hour) slots with a click but no
+    purchase. subtract lowers to a left-anti hash join — one shuffle on the
+    composite key, no cross product."""
+    ev = _events(spark, sf_dir)
+
+    def slots(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+            .distinct()
+        )
+
+    return slots("click").subtract(slots("purchase"))
+
+
 def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
@@ -486,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
         "lineitem_pricing": q_lineitem_pricing,
+        "rollup_lineitem": q_rollup_lineitem,
+        "click_not_purchase_users": q_click_not_purchase_users,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "neardup_clusters_docs": q_neardup_clusters_docs,
@@ -662,6 +691,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "click_not_purchase_users": """
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events WHERE event_type = 'purchase'
         """,
         "minhash_neardup_docs": _minhash_oracle_sql(),
         "ngram_jaccard_docs": _NGRAM_SQL,

@@ -36,7 +36,8 @@ def norm_hash(pdf: pd.DataFrame) -> str:
             pdf[c] = col.round(6).map(lambda v: f"{v:.6f}" if pd.notna(v) else "NULL")
         else:
             pdf[c] = col.astype(str).where(col.notna(), "NULL")
-    rows = sorted(pdf.astype(str).agg("\x1f".join, axis=1).tolist())
+    joined = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1)
+    rows = sorted(joined.tolist()) if len(joined) else []
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
 
 
