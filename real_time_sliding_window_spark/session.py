@@ -35,12 +35,29 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def _export_pythonpath() -> None:
+    """Put the package's parent dir on PYTHONPATH before the JVM starts.
+
+    ``addPyFile`` covers regular UDF workers, but transformWithStateInPandas
+    spawns a long-lived StreamingPythonRunner that unpickles the stateful
+    processor by module import at initialization — before py-files land.
+    Local mode inherits the driver env, so exporting PYTHONPATH here covers
+    it; on a cluster, ship the zip with --py-files AND set
+    spark.executorEnv.PYTHONPATH for TWS jobs.
+    """
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + pp if pp else "")
+
+
 def get_spark(
     app_name: str = "rtsw-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _export_pythonpath()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

@@ -418,3 +418,17 @@ class TestIcebergGating:
         )
         with pytest.raises(RuntimeError, match="ExactlyOnceParquetSink"):
             iceberg.write_stream_to_iceberg(stream, "rtsw.db.t", str(tmp_path / "ck"))
+
+    def test_tws_v2_gated_without_protobuf(self, spark, tmp_path):
+        """transformWithStateInPandas path: refuse clearly when the protobuf
+        runtime its state server needs is absent (this sandbox), pointing at
+        the applyInPandasWithState engine."""
+        from real_time_sliding_window_spark.operators import stateful_tws
+
+        if stateful_tws.tws_available():
+            pytest.skip("protobuf present — gate not exercised")
+        src = tmp_path / "tws_in"
+        src.mkdir()
+        stream = spark.readStream.schema(synth.TRANSCRIPT_SCHEMA).parquet(str(src))
+        with pytest.raises(RuntimeError, match="ring_buffer_stream"):
+            stateful_tws.ring_buffer_stream_v2(stream, timedelta(seconds=1))
