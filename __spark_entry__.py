@@ -471,6 +471,27 @@ def _minhash_oracle_sql(
     """
 
 
+def _sketch_sql_expr(qv: str, n_planes: int) -> str:
+    """DuckDB twin of functions/columns.sign_sketch: bit p of the bucket is
+    the sign of the projection onto dense pseudo-random ±1 plane p."""
+    bits = []
+    for p in range(n_planes):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({qv})), "
+            f"j -> CASE WHEN (j * {p + 7}) % 13 < 7 "
+            f"THEN {qv}[j] ELSE -{qv}[j] END))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_INT_COSINE = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform({a}, v -> v*v)) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform({b}, v -> v*v)) AS DOUBLE)))"
+)
+
+
 def _simhash_sql_expr() -> str:
     terms = []
     for j in range(32):
@@ -737,6 +758,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_simhash_sql_expr()} AS BIGINT) AS simhash,
                    CAST(len(tok) AS BIGINT) AS n_tokens
             FROM h
+        """,
+        "simhash_neardup_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+            h AS (
+                SELECT doc_id,
+                    list_transform(tok,
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                FROM t
+            ),
+            f AS (
+                SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash
+                FROM h
+            ),
+            bands AS (
+                SELECT doc_id, simhash, k.k AS byte_idx,
+                       (simhash >> (8 * k.k)) & 255 AS byte_val
+                FROM f, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) k
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM bands a
+                JOIN bands b ON a.byte_idx = b.byte_idx
+                            AND a.byte_val = b.byte_val
+                            AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(sa, sb)) <= 4
+        """,
+        "embedding_neardup": f"""
+            WITH q AS (
+                SELECT vec_id,
+                    list_transform(embedding,
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', 8)} AS bucket FROM q),
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                       {_INT_COSINE.format(a='a.qv', b='b2.qv')} AS cosine
+                FROM b a
+                JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            )
+            SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+        """,
+        "ann_ivf_topk": f"""
+            WITH q AS (
+                SELECT vec_id,
+                    list_transform(embedding,
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', 6)} AS bucket FROM q),
+            qs AS (
+                SELECT vec_id AS query_id, qv AS q_qv, bucket AS q_bucket
+                FROM b WHERE vec_id < 20
+            ),
+            pairs AS (
+                SELECT query_id, b.vec_id AS neighbor_id,
+                       {_INT_COSINE.format(a='q_qv', b='b.qv')} AS cosine
+                FROM qs JOIN b ON b.bucket = qs.q_bucket
+                             AND b.vec_id <> qs.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM pairs
+            )
+            WHERE rank <= 3
         """,
         "ann_cosine_topk": """
             WITH q AS (
