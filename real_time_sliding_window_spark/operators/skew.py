@@ -37,8 +37,28 @@ def salted_windowed_agg(
     n_salts: int = 16,
     content_payload: Sequence[str] | None = None,
     order_cols: Sequence[str] = ("turn_idx",),
+    merge_content: bool = True,
 ) -> DataFrame:
-    """Tumbling window aggregation with two-level salting on hot keys."""
+    """Tumbling window aggregation with two-level salting on hot keys.
+
+    Where salting actually matters (measured, BENCH/SKEW.md): ALGEBRAIC
+    aggregates (count/min/max/sum) are already skew-immune — Catalyst's
+    partial aggregation combines them map-side, so the hot key's reducer
+    only merges one tiny partial per map task. The skew pain is HOLISTIC
+    aggregates (collect_list content): every row of the hot window ships to
+    and sorts on one reducer. Salting parallelizes that collect+sort across
+    n_salts reducers; the level-2 merge re-sorts the concatenated shards in
+    one task, which is cheap compared to the level-1 work but still O(hot
+    window) in one place.
+
+    ``merge_content=False`` is the extreme-skew mode: return one row PER
+    (window, keys, shard) with its sorted content slice and skip the
+    single-task merge entirely — at 10^7-turn windows the merged array is
+    gigabytes in ONE output row, which no plan should materialize. Shards
+    reassemble losslessly by concatenating in shard order after sorting
+    each (they are disjoint by hash(salt_col)), or feed directly into
+    shard-wise downstream processing.
+    """
     win = F.window(ts_col, interval_str(length))
     salt = F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts)).alias("__salt")
 
@@ -56,6 +76,18 @@ def salted_windowed_agg(
         )
 
     partial = df.groupBy(win.alias("window"), *keys, salt).agg(*partial_aggs)
+
+    if content_payload is not None and not merge_content:
+        return partial.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            F.col("__salt").alias("shard"),
+            F.col("__n").alias("n_rows"),
+            F.col("__min_ts").alias("first_ts"),
+            F.col("__max_ts").alias("last_ts"),
+            F.col("__content").alias("content"),
+        )
 
     final_aggs = [
         F.sum("__n").alias("n_rows"),

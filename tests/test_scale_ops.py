@@ -222,3 +222,28 @@ class TestSkew:
             F.array_join(F.transform("content", lambda x: x["text"]), ",").alias("cs"),
         ).toPandas().sort_values(["window_start", "conv_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_sharded_content_reassembles(self, spark):
+        """merge_content=False: concatenating the per-shard sorted slices
+        (each re-sorted globally) equals the plain merged content, and
+        shard counts sum to the window count."""
+        pdf = synth.f8_skew_rows(hot_turns=2000, n_cold=20, cold_turns=10)
+        df = synth.to_spark(spark, pdf)
+        plain = windowed_agg(
+            df, "ts", timedelta(minutes=10), keys=["conv_id"],
+            content_payload=["text"], order_cols=["turn_idx"],
+        ).toPandas().set_index(["window_start", "conv_id"])
+        shards = salted_windowed_agg(
+            df, "ts", timedelta(minutes=10), keys=["conv_id"], n_salts=8,
+            content_payload=["text"], order_cols=["turn_idx"],
+            merge_content=False,
+        ).toPandas()
+        for (ws, conv), g in shards.groupby(["window_start", "conv_id"]):
+            # disjoint shards: counts add up
+            assert g["n_rows"].sum() == plain.loc[(ws, conv), "n_rows"]
+            # lossless reassembly: merge-sort the shard slices
+            merged = sorted(
+                (tuple(row) for content in g["content"] for row in content)
+            )
+            expect = [tuple(r) for r in plain.loc[(ws, conv), "content"]]
+            assert merged == expect
