@@ -255,6 +255,11 @@ shuffle/agg scaling the rule targets.
 streaming turns/sec (ring buffer steady + drain modes, windowed agg), plus
 per-batch p50/p99 durations from the lineage listener.
 
+## Skew evidence
+
+See `BENCH/SKEW.md` (tools/skew_bench.py): hot-key content aggregation,
+plain vs salted vs sharded output.
+
 ## Correctness gates
 
 - `python -m pytest tests/ -x -q` — reference-scenario parity (F1-F8).
