@@ -150,6 +150,51 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest preceding click of
+    the same user within 2 hours (deterministic event_id tiebreak)."""
+    from real_time_sliding_window_spark.operators.joins import as_of_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        horizon=timedelta(hours=2),
+        tiebreakers=["event_id"],
+    )
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+def q_rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: 6h windows re-aggregated from 1h
+    partials, themselves from 15m partials — value-identical to a direct 6h
+    aggregation (the oracle), but the coarse levels never re-read raw rows."""
+    ev = _events(spark, sf_dir).withColumn("value_cents", _cents())
+    levels = W.cascading_rollup(
+        ev,
+        "ts",
+        [timedelta(minutes=15), timedelta(hours=1), timedelta(hours=6)],
+        keys=["event_type"],
+        sum_cols=["value_cents"],
+    )
+    return levels[-1]
+
+
 def q_salted_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window per user via the two-level SALTED aggregation
     (operators/skew.py) — results are salt-invariant, so the oracle is the
@@ -529,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ondemand_view_events": q_ondemand_view_events,
         "window_content_events": q_window_content_events,
         "interval_join_events": q_interval_join_events,
+        "asof_purchase_click": q_asof_purchase_click,
+        "rollup_cascade_events": q_rollup_cascade_events,
         "salted_window_events": q_salted_window_events,
         "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -658,6 +705,37 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 1 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "asof_purchase_click": """
+            WITH cand AS (
+                SELECT p.user_id,
+                       p.event_id AS purchase_id, p.ts AS purchase_ts,
+                       c.event_id AS click_id, c.ts AS click_ts,
+                       row_number() OVER (
+                           PARTITION BY p.user_id, p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM events p
+                JOIN events c
+                  ON p.user_id = c.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 2 HOUR
+                WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            )
+            SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+            FROM cand WHERE rn = 1
+        """,
+        "rollup_cascade_events": """
+            SELECT
+                time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+                time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+                event_type,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_value_cents
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "salted_window_events": """
             SELECT

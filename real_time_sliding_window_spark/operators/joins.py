@@ -54,6 +54,69 @@ def interval_join(
     return left.alias("l").join(right.alias("r"), on=cond, how=how).select(*lcols, *rcols)
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    horizon: timedelta | None = None,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join: each left row matched to the LATEST right row with
+    ``right.ts <= left.ts`` (optionally within ``horizon``), per key.
+    ``tiebreakers`` (right-side columns, compared descending) make the
+    equal-timestamp case deterministic — required for oracle parity.
+
+    Implementation: bounded interval equi-join (keys + time range — a hash
+    join, never a cross product) followed by a rank-1 pick per left row.
+    The window's rank-limit pushdown (WindowGroupLimit) keeps only the top
+    candidate per left row before the final shuffle. An unbounded as-of
+    (no horizon) would make the interval join's state/row count unbounded —
+    at scale always pass a horizon (the same reasoning that makes the
+    stream-stream join's watermark bound its state).
+
+    DuckDB's native ASOF JOIN is the oracle twin (__spark_entry__).
+    """
+    if horizon is None:
+        horizon = timedelta(days=36500)
+    lcols = [
+        F.col(f"l.{c}").alias(c if c in keys else f"{left_prefix}{c}")
+        for c in left.columns
+    ]
+    rcols = [
+        F.col(f"r.{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} <= l.{left_ts}",
+                f"r.{right_ts} >= l.{left_ts} - interval {interval_str(horizon)}",
+            ]
+        )
+    )
+    joined = left.alias("l").join(right.alias("r"), on=cond, how="inner").select(
+        *lcols, *rcols
+    )
+    from pyspark.sql.window import Window
+
+    left_id_cols = [c for c in joined.columns if c.startswith(left_prefix) or c in keys]
+    w = Window.partitionBy(*left_id_cols).orderBy(
+        F.col(f"{right_prefix}{right_ts}").desc(),
+        *[F.col(f"{right_prefix}{c}").desc() for c in tiebreakers],
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def user_tool_join(
     transcripts: DataFrame,
     horizon: timedelta = timedelta(seconds=10),

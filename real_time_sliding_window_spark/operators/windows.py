@@ -205,6 +205,55 @@ def on_demand_view(
     return out.withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
 
 
+def cascading_rollup(
+    df: DataFrame,
+    ts_col: str,
+    levels: Sequence[timedelta],
+    keys: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+) -> list[DataFrame]:
+    """Hypertable-style multi-resolution rollup: each coarser level is
+    re-aggregated FROM the next finer level's partials, never from raw rows.
+
+    At 100 TB this is the continuous-aggregate pattern: the 1-minute level
+    reads the corpus once; 1-hour reads the (thousands-of-times smaller)
+    1-minute table; 1-day reads 1-hour. Requires every level to divide the
+    next (validated) and algebraic aggregates only (count/min/max/sum —
+    exactly re-aggregable; content/holistic aggs belong on the finest level
+    only). Returns one DataFrame per level, finest first, each with
+    window_start/window_end/keys/n_rows/first_ts/last_ts[/sum_*].
+    """
+    for fine, coarse in zip(levels, levels[1:]):
+        if round(coarse.total_seconds() * 1e6) % round(fine.total_seconds() * 1e6):
+            raise ValueError(f"level {coarse} is not a multiple of {fine}")
+    out: list[DataFrame] = []
+    base = windowed_agg(
+        df,
+        ts_col,
+        levels[0],
+        keys=keys,
+        extra_aggs=[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    out.append(base)
+    prev = base
+    for lv in levels[1:]:
+        win = F.window("window_start", interval_str(lv))
+        agg = prev.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+        prev = agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in keys],
+            *[c for c in agg.columns if c != "window" and c not in keys],
+        )
+        out.append(prev)
+    return out
+
+
 def top_k_per_key(
     df: DataFrame,
     keys: Sequence[str],

@@ -211,3 +211,56 @@ def test_ordered_turns_rank(spark):
     by_rank = sorted(ranked, key=lambda r: r["turn_rank"])
     keys = [(r["ts"], r["turn_idx"]) for r in by_rank]
     assert keys == sorted(keys)
+
+
+def test_as_of_join_latest_tiebreak_and_horizon(spark):
+    import pandas as pd
+    from datetime import timedelta as td
+
+    from real_time_sliding_window_spark.operators.joins import as_of_join
+
+    T = NOW
+    left = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1", "u2"],
+        "pid": [100, 101, 102],
+        "ts": [T + td(seconds=10), T + td(seconds=30), T + td(seconds=10)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1", "u1", "u1", "u2"],
+        "cid": [1, 2, 3, 4, 5],
+        # for u1: clicks at 3s, 7s, 7s (tie), 12s; u2: click at 40s (after)
+        "ts": [T + td(seconds=3), T + td(seconds=7), T + td(seconds=7),
+               T + td(seconds=12), T + td(seconds=40)],
+    }))
+    out = as_of_join(
+        left, right, keys=["user"], left_ts="ts", right_ts="ts",
+        horizon=td(seconds=20), tiebreakers=["cid"],
+    ).toPandas().set_index("l_pid")
+    # pid 100 (t=10): latest click <=10 is the 7s tie -> higher cid (3) wins
+    assert out.loc[100, "r_cid"] == 3
+    # pid 101 (t=30): latest click is 12s, within the 20s horizon -> cid 4
+    assert out.loc[101, "r_cid"] == 4
+    # pid 102 (u2, t=10): only click is at 40s (future) -> no match
+    assert 102 not in out.index
+    # tighter horizon drops pid 101 (12s click is 18s before the purchase)
+    tight = as_of_join(
+        left, right, keys=["user"], left_ts="ts", right_ts="ts",
+        horizon=td(seconds=15), tiebreakers=["cid"],
+    ).toPandas()
+    assert set(tight["l_pid"]) == {100}
+
+
+def test_cascading_rollup_matches_direct(spark):
+    from real_time_sliding_window_spark import synth as S
+
+    df = S.to_spark(spark, S.transcripts_pandas(200, mean_turns=12))
+    levels = W.cascading_rollup(
+        df, "ts",
+        [timedelta(minutes=5), timedelta(minutes=15), timedelta(hours=1)],
+        keys=["role"],
+    )
+    direct = W.windowed_agg(df, "ts", timedelta(hours=1), keys=["role"])
+    a = levels[-1].toPandas().sort_values(["window_start", "role"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["window_start", "role"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a[b.columns], b)
