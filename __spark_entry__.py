@@ -150,6 +150,22 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate inside a window: exact count(DISTINCT user_id)
+    per day+type (batch path; the streaming twin is approx_count_distinct —
+    see tools/scaling_bench.py's featurize job)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
 def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest preceding click of
     the same user within 2 hours (deterministic event_id tiebreak)."""
@@ -574,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ondemand_view_events": q_ondemand_view_events,
         "window_content_events": q_window_content_events,
         "interval_join_events": q_interval_join_events,
+        "distinct_users_per_day": q_distinct_users_per_day,
         "asof_purchase_click": q_asof_purchase_click,
         "rollup_cascade_events": q_rollup_cascade_events,
         "salted_window_events": q_salted_window_events,
@@ -705,6 +722,14 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 1 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "distinct_users_per_day": """
+            SELECT
+                time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+                event_type,
+                count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1, 2
         """,
         "asof_purchase_click": """
             WITH cand AS (

@@ -31,6 +31,9 @@ BATCH_QUERIES = [
     "session_events",
     "window_content_events",
     "interval_join_events",
+    "asof_purchase_click",
+    "rollup_cascade_events",
+    "neardup_clusters_docs",
     "ondemand_view_events",
     "dedup_exact_docs",
     "minhash_neardup_docs",
