@@ -241,9 +241,14 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    )
+    # Only edge-incident vertices can ever change label — iterate over that
+    # (typically tiny) subgraph and attach the untouched rest as singleton
+    # components in one final join. At near-dup workloads the touched set is
+    # a small fraction of the corpus, so every loop job shrinks accordingly.
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("label")
@@ -263,7 +268,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+    comp = labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        vertices.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def neardup_clusters(
