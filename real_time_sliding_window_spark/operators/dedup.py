@@ -221,7 +221,7 @@ def connected_components(
     id_col: str = "doc_id",
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Min-label-propagation connected components over an edge list.
 
@@ -268,6 +268,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter means some component's diameter exceeds the
+        # round budget — partial labels are WRONG cluster ids; fail loudly
+        # rather than hand a silently mislabeled corpus downstream.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     comp = labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
     return (
         vertices.select(id_col)

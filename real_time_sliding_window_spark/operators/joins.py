@@ -82,6 +82,11 @@ def as_of_join(
     """
     if horizon is None:
         horizon = timedelta(days=36500)
+    # Surrogate row id on the left BEFORE the join: the rank-1 window must
+    # partition by left ROW identity, not by left column values — two
+    # identical left rows (legal input) each keep their own match, and the
+    # partitioning never depends on column-name conventions.
+    tagged = left.withColumn("__lid", F.monotonically_increasing_id())
     lcols = [
         F.col(f"l.{c}").alias(c if c in keys else f"{left_prefix}{c}")
         for c in left.columns
@@ -100,20 +105,19 @@ def as_of_join(
             ]
         )
     )
-    joined = left.alias("l").join(right.alias("r"), on=cond, how="inner").select(
-        *lcols, *rcols
+    joined = tagged.alias("l").join(right.alias("r"), on=cond, how="inner").select(
+        F.col("l.__lid").alias("__lid"), *lcols, *rcols
     )
     from pyspark.sql.window import Window
 
-    left_id_cols = [c for c in joined.columns if c.startswith(left_prefix) or c in keys]
-    w = Window.partitionBy(*left_id_cols).orderBy(
+    w = Window.partitionBy("__lid").orderBy(
         F.col(f"{right_prefix}{right_ts}").desc(),
         *[F.col(f"{right_prefix}{c}").desc() for c in tiebreakers],
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__lid")
     )
 
 

@@ -74,26 +74,35 @@ def _fake_decode(payload: pd.Series, dim: int = 16) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
-    """binary payload -> fixed-width feature vector + content hash."""
+    """binary payload -> fixed-width feature vector + content hash.
+
+    content_hash and n_bytes are computed JVM-side (``F.md5`` / ``F.length``
+    over the binary column — codegen, no Python) BEFORE the Arrow pass; the
+    pandas kernel only does the one thing Spark can't: decode. (The stub
+    decoder's per-row loop is inherent to any real codec.)
+    """
+    prepped = media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.md5("payload").alias("content_hash"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
             feats = _fake_decode(pdf["payload"], feature_dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "content_hash": pdf["payload"].map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
+                    "n_bytes": pdf["n_bytes"],
+                    "content_hash": pdf["content_hash"],
                     "features": list(feats),
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return prepped.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

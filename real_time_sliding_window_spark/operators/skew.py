@@ -55,9 +55,11 @@ def salted_windowed_agg(
     (window, keys, shard) with its sorted content slice and skip the
     single-task merge entirely — at 10^7-turn windows the merged array is
     gigabytes in ONE output row, which no plan should materialize. Shards
-    reassemble losslessly by concatenating in shard order after sorting
-    each (they are disjoint by hash(salt_col)), or feed directly into
-    shard-wise downstream processing.
+    are hash(salt_col)-disjoint, NOT range-disjoint, so concatenating them
+    in shard order does not yield the global ordering — reassemble
+    losslessly by k-way merge-sorting the (already sorted) shards, or by
+    flattening and re-sorting, or feed directly into shard-wise downstream
+    processing.
     """
     win = F.window(ts_col, interval_str(length))
     salt = F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts)).alias("__salt")

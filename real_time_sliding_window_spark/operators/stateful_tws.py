@@ -149,10 +149,30 @@ class RingBufferProcessor(StatefulProcessor):
         return (b_ts, b_ti, b_role, b_text, b_tool), changed
 
     def _set_timer(self, timerValues, b_ts):
-        if self.max_dur_us is not None and len(b_ts):
+        """Re-arm the per-key expiry timer, deleting any stale ones first.
+
+        Timers are keyed state: registering a new wake time does NOT replace
+        previously registered ones, so without the delete pass every batch
+        that shifts the oldest buffered ts (append/evict) would leak one
+        timer per key — unbounded timer state + spurious
+        handleExpiredTimer invocations on long streams.
+        """
+        if self.max_dur_us is None:
+            return
+        want_ms = None
+        if len(b_ts):
             expire_ms = (int(b_ts[0]) + self.max_dur_us) // 1000
             wm = timerValues.getCurrentWatermarkInMs()
-            self.handle.registerTimer(max(expire_ms, wm + 1))
+            want_ms = max(expire_ms, wm + 1)
+        try:
+            existing = [int(t) for t in self.handle.listTimers()]
+        except Exception:
+            existing = []
+        for t in existing:
+            if t != want_ms:
+                self.handle.deleteTimer(t)
+        if want_ms is not None and want_ms not in existing:
+            self.handle.registerTimer(want_ms)
 
     # -- handlers -------------------------------------------------------
     def handleInputRows(self, key: Any, rows, timerValues) -> Iterator[pd.DataFrame]:

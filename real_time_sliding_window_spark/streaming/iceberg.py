@@ -62,6 +62,11 @@ def write_stream_to_iceberg(
 ):
     """Append-mode exactly-once streaming write into an Iceberg table.
 
+    STARTS the query: ``DataStreamWriter.toTable`` begins execution and
+    returns the running ``StreamingQuery`` (it is not a builder step) —
+    callers own the returned query's lifecycle (``awaitTermination`` /
+    ``stop``).
+
     Idempotence: Structured Streaming replays an unacknowledged epoch after
     failure with the SAME epochId; the Iceberg sink sees the (queryId,
     epochId) it already committed in the table's snapshot summary and skips
@@ -69,13 +74,14 @@ def write_stream_to_iceberg(
     appends.
     """
     _require(result.sparkSession)
-    w = (
+    writer = (
         result.writeStream.format("iceberg")
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .toTable(table)
     )
-    return w
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.toTable(table)
 
 
 MERGE_TEMPLATE = """

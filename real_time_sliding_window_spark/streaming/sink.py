@@ -53,13 +53,21 @@ class ExactlyOnceParquetSink:
         tmp = os.path.join(self.root, f"_tmp_{batch_id}_{uuid.uuid4().hex}")
         lineage = None
         if self.track_lineage:
-            # per-partition lineage in one extra narrow aggregation
-            lineage = (
-                df.groupBy(F.spark_partition_id().alias("partition_id"))
-                .count()
-                .collect()
-            )
-        df.write.mode("overwrite").parquet(tmp)
+            # persist across the two passes — otherwise the lineage agg and
+            # the parquet write each recompute the full micro-batch plan
+            df.persist()
+        try:
+            if self.track_lineage:
+                # per-partition lineage in one extra narrow aggregation
+                lineage = (
+                    df.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .count()
+                    .collect()
+                )
+            df.write.mode("overwrite").parquet(tmp)
+        finally:
+            if self.track_lineage:
+                df.unpersist()
         if os.path.exists(target):
             shutil.rmtree(target)  # torn write from a previous attempt
         os.rename(tmp, target)

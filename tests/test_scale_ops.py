@@ -97,6 +97,24 @@ class TestDedup:
         assert set(lab[[1, 2, 3, 4]]) == {1}
         assert lab[9] == 9
 
+    def test_connected_components_nonconvergence_raises(self, spark):
+        """A component whose diameter exceeds max_iter must FAIL loudly —
+        silently returning partial labels mislabels the corpus (VERDICT r01
+        #5 / ADVICE)."""
+        import pandas as pd
+        import pytest
+
+        n = 7  # path graph 0-1-2-...-7: min label needs ~n rounds
+        edges = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(n)), "doc_b": list(range(1, n + 1))})
+        )
+        verts = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n + 1))}))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(edges, verts, max_iter=2)
+        # and a sufficient budget converges to a single component
+        ok = dedup.connected_components(edges, verts, max_iter=n + 2).toPandas()
+        assert set(ok["cluster_id"]) == {0}
+
     def test_simhash_fingerprints(self, docs, spark):
         fp = dedup.simhash_fingerprints(docs).toPandas().set_index("doc_id")
         # identical docs -> identical fingerprints

@@ -250,6 +250,41 @@ def test_as_of_join_latest_tiebreak_and_horizon(spark):
     assert set(tight["l_pid"]) == {100}
 
 
+def test_as_of_join_duplicate_left_rows_and_empty_prefix(spark):
+    """Each left ROW gets its own match: two byte-identical left rows must
+    yield two output rows (the rank window partitions on row identity, not
+    on left column values), and a degenerate left_prefix='' must not sweep
+    right-side columns into the partitioning (ADVICE r01)."""
+    import pandas as pd
+    from datetime import timedelta as td
+
+    from real_time_sliding_window_spark.operators.joins import as_of_join
+
+    T = NOW
+    left = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1"],          # identical duplicate rows
+        "ts": [T + td(seconds=10)] * 2,
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1"],
+        "cid": [1, 2],
+        "ts": [T + td(seconds=3), T + td(seconds=7)],
+    }))
+    out = as_of_join(
+        left, right, keys=["user"], left_ts="ts", right_ts="ts",
+        horizon=td(seconds=20), tiebreakers=["cid"],
+    ).toPandas()
+    assert len(out) == 2                      # one match PER left row
+    assert list(out["r_cid"]) == [2, 2]       # both latest (7s, cid 2)
+
+    out2 = as_of_join(
+        left, right, keys=["user"], left_ts="ts", right_ts="ts",
+        horizon=td(seconds=20), tiebreakers=["cid"], left_prefix="",
+    ).toPandas()
+    assert len(out2) == 2
+    assert list(out2["r_cid"]) == [2, 2]
+
+
 def test_cascading_rollup_matches_direct(spark):
     from real_time_sliding_window_spark import synth as S
 
