@@ -326,14 +326,16 @@ def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index join, no LSH)."""
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+    """Exact n-gram Jaccard near-dup pairs via the df-capped inverted-index
+    path (max_df=128, mirrored in the oracle SQL) — the scale-bounded
+    candidate generation + exact verification."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
 def q_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster resolution: ngram-Jaccard pairs -> min-label
-    connected components -> (doc_id, cluster_id, cluster_size)."""
-    return D.neardup_clusters(_docs(spark, sf_dir), min_jaccard=0.5)
+    """Near-dup cluster resolution: df-capped ngram-Jaccard pairs ->
+    min-label connected components -> (doc_id, cluster_id, cluster_size)."""
+    return D.neardup_clusters(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +403,11 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
 
 
-_NGRAM_SQL = """
+# Twin of dedup.ngram_jaccard_pairs(max_df=128): candidates only from
+# shingles with document frequency <= 128; verification counts ALL shared
+# shingles of surviving candidate pairs (exact inter/union/jaccard).
+_NGRAM_MAX_DF = 128
+_NGRAM_SQL = f"""
     WITH base AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -416,11 +422,21 @@ _NGRAM_SQL = """
     sizes AS (
         SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
     ),
+    rare AS (
+        SELECT shingle FROM idx GROUP BY 1 HAVING count(*) <= {_NGRAM_MAX_DF}
+    ),
+    cidx AS (SELECT idx.* FROM idx JOIN rare USING (shingle)),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cidx a
+        JOIN cidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
     it AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS inter
-        FROM idx a
-        JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cand c
+        JOIN idx ia ON ia.doc_id = c.doc_a
+        JOIN idx ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter,

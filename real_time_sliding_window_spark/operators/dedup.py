@@ -154,6 +154,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = 128,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via an inverted index.
 
@@ -164,13 +165,19 @@ def ngram_jaccard_pairs(
     ``jaccard = inter / (|A| + |B| − inter)``. Only pairs with at least one
     common shingle ever materialize, so there is no O(n²) cross join.
 
-    Scale note: at 100 TB the index join's hot keys are high-document-
-    frequency shingles (stopword runs). The production guard is a df-cap on
-    the index (drop shingles with df > threshold from candidate generation,
-    then verify survivors exactly) — that is what minhash_lsh_pairs'
-    band join achieves probabilistically; this operator is the exact
-    verifier / small-to-medium-corpus path, kept cap-free so the DuckDB
-    oracle is expression-identical.
+    ``max_df`` is the scale guard (VERDICT r01 #1): a shingle appearing in d
+    documents generates d·(d−1)/2 candidate rows in the self-join — one
+    stopword 3-gram in 10^6 docs is ~5·10^11 pairs. Candidate generation
+    therefore uses only shingles with document frequency ≤ max_df; the
+    Jaccard verification of surviving candidates still counts ALL shared
+    shingles (two equi-joins on the full index restricted to candidates —
+    same verify shape as minhash_lsh_pairs), so reported (inter, union,
+    jaccard) stay exact. Semantics under the cap: a pair is reported iff it
+    shares at least one sub-threshold shingle — pairs similar ONLY through
+    boilerplate everyone shares are (deliberately) not near-duplicates.
+    The DuckDB oracle implements the identical cap, so parity holds at any
+    corpus scale. ``max_df=None`` is the cap-free exact mode (candidate
+    join IS the verify join — one shuffle fewer; small corpora only).
     """
     words = ensure_parallelism(
         df.select(
@@ -184,20 +191,55 @@ def ngram_jaccard_pairs(
     )
     index = base.select("doc_id", F.explode("__sh").alias("shingle"))
     sizes = base.select("doc_id", F.size("__sh").cast("long").alias("sz"))
-    inter = (
-        index.alias("a")
-        .join(
-            index.alias("b"),
-            on=[
-                F.col("a.shingle") == F.col("b.shingle"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
+    if max_df is None:
+        inter = (
+            index.alias("a")
+            .join(
+                index.alias("b"),
+                on=[
+                    F.col("a.shingle") == F.col("b.shingle"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        # candidate generation from the df-capped index only: one extra
+        # hash-agg (map-side partial) to compute per-shingle df, then the
+        # self-join runs on keys whose fan-out is bounded by max_df
+        rare = (
+            index.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        cidx = index.join(rare, "shingle")
+        cand = (
+            cidx.alias("a")
+            .join(
+                cidx.alias("b"),
+                on=[
+                    F.col("a.shingle") == F.col("b.shingle"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # exact verify on the FULL index, restricted to candidate pairs
+        ex_a = index.select(F.col("doc_id").alias("doc_a"), "shingle")
+        ex_b = index.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(ex_a, "doc_a")
+            .join(ex_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -293,12 +335,15 @@ def neardup_clusters(
     text_col: str = "text",
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = 128,
 ) -> DataFrame:
     """Near-duplicate cluster resolution: exact n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id, cluster_size). The
     canonical representative of each cluster is its cluster_id (min doc);
-    a training pipeline keeps `doc_id == cluster_id` rows."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_k, min_jaccard)
+    a training pipeline keeps `doc_id == cluster_id` rows. Pair generation
+    runs with the df-capped candidate path (see ngram_jaccard_pairs) so the
+    flagship dedup query is bounded on stopword-heavy corpora."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_k, min_jaccard, max_df)
     comp = connected_components(
         pairs.select("doc_a", "doc_b"), df.select(id_col), id_col
     )

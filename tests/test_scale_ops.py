@@ -69,6 +69,55 @@ class TestDedup:
         for r in pairs.itertuples():
             assert r.union_sz == r.inter / r.jaccard
 
+    def test_ngram_jaccard_df_cap(self, docs, spark):
+        """The df-capped candidate path is (a) identity when every shingle
+        is under the cap, (b) exact on the verify side, (c) drops pairs
+        whose ONLY shared shingles are boilerplate above the cap."""
+        key = lambda pdf: sorted(
+            (int(r.doc_a), int(r.doc_b), int(r.inter), int(r.union_sz))
+            for r in pdf.itertuples()
+        )
+        free = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2, max_df=None).toPandas()
+        capped = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2, max_df=128).toPandas()
+        assert key(free) == key(capped)  # identity below the cap
+
+        # boilerplate corpus: every doc shares one sentence (df = n_docs);
+        # docs 0/1 additionally share unique (rare) content
+        boiler = "please read the terms and conditions before you continue"
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    f"{boiler} alpha beta gamma delta epsilon zeta",
+                    f"{boiler} alpha beta gamma delta epsilon eta",
+                    f"{boiler} unrelated words here one",
+                    f"{boiler} other unrelated words two",
+                    f"{boiler} more unrelated words three",
+                    f"{boiler} yet more unrelated four",
+                ],
+            }
+        )
+        bdocs = spark.createDataFrame(pdf)
+        got = dedup.ngram_jaccard_pairs(
+            bdocs, min_jaccard=0.1, max_df=5
+        ).toPandas()
+        got_pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(got.doc_a, got.doc_b)}
+        # (0,1) share rare shingles -> candidate survives, jaccard EXACT
+        # (counts boilerplate shingles too, via the full-index verify)
+        assert (0, 1) in got_pairs
+        r01 = got[(got.doc_a == 0) & (got.doc_b == 1)].iloc[0]
+        free_b = dedup.ngram_jaccard_pairs(
+            bdocs, min_jaccard=0.1, max_df=None
+        ).toPandas()
+        f01 = free_b[(free_b.doc_a == 0) & (free_b.doc_b == 1)].iloc[0]
+        assert (r01.inter, r01.union_sz) == (f01.inter, f01.union_sz)
+        # boilerplate-only pairs (e.g. 2-3) appear cap-free but are pruned
+        free_pairs = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in zip(free_b.doc_a, free_b.doc_b)
+        }
+        assert (2, 3) in free_pairs and (2, 3) not in got_pairs
+
     def test_neardup_clusters(self, docs):
         out = dedup.neardup_clusters(docs, min_jaccard=0.2).toPandas()
         by_doc = out.set_index("doc_id")
