@@ -355,13 +355,16 @@ def q_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash fingerprints."""
+    """Per-document 60-bit SimHash fingerprints."""
     return D.simhash_fingerprints(_docs(spark, sf_dir))
 
 
 def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (byte-band candidates; rows-only check)."""
-    return D.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=4)
+    """SimHash near-dup pairs: 4 x 15-bit band candidates with the
+    occupancy cap (max_bucket=1024, mirrored in the oracle)."""
+    return D.simhash_neardup_pairs(
+        _docs(spark, sf_dir), max_hamming=4, max_bucket=1024
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,8 +573,10 @@ _INT_COSINE = (
 
 
 def _simhash_sql_expr() -> str:
+    """60-bit simhash twin (functions/columns.simhash60): 15 hex chars per
+    token hash, bits 0..59 — always a positive BIGINT on both engines."""
     terms = []
-    for j in range(32):
+    for j in range(60):
         terms.append(
             f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
             f"x -> ((x >> {j}) & 1) * 2 - 1)), 0) > 0 "
@@ -870,7 +875,7 @@ def oracle_sql() -> dict[str, str]:
             h AS (
                 SELECT doc_id, tok,
                     list_transform(tok,
-                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
                 FROM t
             )
             SELECT doc_id,
@@ -883,7 +888,7 @@ def oracle_sql() -> dict[str, str]:
             h AS (
                 SELECT doc_id,
                     list_transform(tok,
-                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
                 FROM t
             ),
             f AS (
@@ -891,16 +896,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             ),
             bands AS (
-                SELECT doc_id, simhash, k.k AS byte_idx,
-                       (simhash >> (8 * k.k)) & 255 AS byte_val
+                SELECT doc_id, simhash, k.k AS band_idx,
+                       (simhash >> (15 * k.k)) & 32767 AS band_val
                 FROM f, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) k
             ),
+            cool AS (
+                SELECT band_idx, band_val FROM bands
+                GROUP BY 1, 2 HAVING count(*) <= 1024
+            ),
+            cbands AS (SELECT bands.* FROM bands JOIN cool USING (band_idx, band_val)),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.simhash AS sa, b.simhash AS sb
-                FROM bands a
-                JOIN bands b ON a.byte_idx = b.byte_idx
-                            AND a.byte_val = b.byte_val
+                FROM cbands a
+                JOIN cbands b ON a.band_idx = b.band_idx
+                            AND a.band_val = b.band_val
                             AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b,

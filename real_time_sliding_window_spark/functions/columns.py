@@ -13,8 +13,9 @@ Design notes:
 - shingles: word k-grams with 1-based inclusive slicing on both engines.
 - minhash: signature_j = min over shingles of md5(shingle || '#' || j) —
   lexicographic min of fixed-width hex == numeric min, portable.
-- simhash: 32-bit, token hash = first 8 md5 hex chars as int; bit j of the
-  fingerprint set iff sum over tokens of ±1 (bit j set → +1) is > 0.
+- simhash: 60-bit (15 md5 hex chars per token hash — the widest fingerprint
+  that is a positive int64 on both engines); bit j of the fingerprint set
+  iff sum over tokens of ±1 (bit j set → +1) is > 0.
 - cosine: embeddings quantized to int(round(x*1000)); dot and norms are
   exact int64 sums, so the final double division is bit-identical across
   engines and summation orders.
@@ -130,21 +131,36 @@ def int_minhash_band_keys(
     return F.array(*keys)
 
 
-def token_hashes32(tokens_col: str) -> Column:
-    """Per-token 32-bit hash: first 8 md5 hex chars as a long."""
+SIMHASH_BITS = 60  # 15 md5 hex chars: the widest fingerprint that stays a
+# POSITIVE int64 on both engines (DuckDB checks overflow on 1<<63 and cannot
+# parse 16-hex-char values with the top bit set; Spark 4's ANSI mode likewise
+# dislikes sign-bit arithmetic). 60 bits band as 4 x 15-bit keys.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 32,768 keys/band
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def token_hashes60(tokens_col: str) -> Column:
+    """Per-token 60-bit hash: first 15 md5 hex chars as a long."""
     return F.expr(
-        f"transform({tokens_col}, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as long))"
+        f"transform({tokens_col}, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as long))"
     )
 
 
-def simhash32(hashes_col: str) -> Column:
-    """32-bit simhash fingerprint as a long (bit j set iff Σ±1 > 0)."""
+def simhash60(hashes_col: str) -> Column:
+    """60-bit simhash fingerprint as a long (bit j set iff Σ±1 > 0).
+
+    Widened from 32 bits (VERDICT r01 #2): 32 bits saturates with hamming
+    collisions beyond ~10^5 docs and its byte-banding gave only 1,024 join
+    keys; 60 bits keeps the false-candidate rate corpus-scale-safe and
+    bands into 4 x 15-bit keys (32,768 each).
+    """
     bit_sums = [
         F.expr(
             f"aggregate({hashes_col}, 0L, "
             f"(acc, x) -> acc + (shiftright(x, {j}) & 1L) * 2L - 1L)"
         )
-        for j in range(32)
+        for j in range(SIMHASH_BITS)
     ]
     out = F.lit(0).cast("long")
     for j, s in enumerate(bit_sums):

@@ -12,8 +12,8 @@ built shuffle-consciously:
   when the corpus is small) and the final distinct. At 100 TB the band join
   is the standard near-dup-at-scale pattern (band key is effectively a
   random partitioner, so no skew hot-spots beyond true dup clusters).
-- **simhash**: per-row fingerprint (zero shuffle); near-dup candidates via
-  band join on fingerprint bytes.
+- **simhash**: per-row 60-bit fingerprint (zero shuffle); near-dup
+  candidates via band join on 4 x 15-bit fingerprint slices.
 - **ngram-jaccard**: exact verification on LSH candidates only — never the
   O(n²) cross join.
 - **embedding near-dup**: cosine over quantized int vectors on LSH-band or
@@ -354,10 +354,10 @@ def neardup_clusters(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document 32-bit simhash fingerprint + token count.
+    """Per-document 60-bit simhash fingerprint + token count.
 
     The per-token md5 hashes are materialized across an exchange before the
-    32 bit-sum aggregates: simhash32 references the hash column 32 times,
+    60 bit-sum aggregates: simhash60 references the hash column 60 times,
     and CollapseProject would otherwise inline (and recompute) the md5 pass
     once per bit (see PLANS.md "expression-tree discipline")."""
     hashed = (
@@ -365,14 +365,14 @@ def simhash_fingerprints(
         .withColumn("__tok", C.tokens(text_col))
         .select(
             F.col(id_col),
-            C.token_hashes32("__tok").alias("__h"),
+            C.token_hashes60("__tok").alias("__h"),
             F.size("__tok").cast("long").alias("n_tokens"),
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
     return hashed.select(
         F.col(id_col),
-        C.simhash32("__h").alias("simhash"),
+        C.simhash60("__h").alias("simhash"),
         "n_tokens",
     )
 
@@ -382,19 +382,40 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
-    """Candidate pairs whose 32-bit simhash differs by <= max_hamming bits.
+    """Candidate pairs whose 60-bit simhash differs by <= max_hamming bits.
 
-    Banding on the 4 fingerprint bytes (pigeonhole: hamming<=3 ⇒ at least
-    one byte equal) keeps this an equi-join rather than a cross join.
+    Banding on 4 x 15-bit fingerprint slices (pigeonhole: hamming <= 3 ⇒ at
+    least one band equal) keeps this an equi-join rather than a cross join.
+    Scale shape (VERDICT r01 #2): the old byte-banding over 32 bits had
+    4 x 256 = 1,024 possible join keys — each band bucket held n/256 docs
+    and the self-join degenerated to O(n²/256). 15-bit bands give 32,768
+    keys per band (128x), measured 115x fewer candidates on a diverse
+    corpus (BENCH/SIMHASH.md).
+
+    ``max_bucket`` bounds the residual hazard: simhash bits are CORRELATED
+    on topically homogeneous text (common tokens dominate the bit sums), so
+    band buckets are Zipf-skewed — the hottest bucket can hold a few % of
+    the corpus and its self-join term is quadratic. Dropping band buckets
+    with occupancy > max_bucket from candidate generation caps the total
+    volume at bands·n·max_bucket/2 — LINEAR in corpus size. Recall: a
+    hamming<=3 pair is missed only if EVERY band that matches it is hot —
+    docs in a hot bucket agree on a popular 15-bit pattern, and almost all
+    such pairs fail the hamming filter anyway (measured survivor rates in
+    BENCH/SIMHASH.md). Mirrored in the DuckDB oracle; None = exact
+    pigeonhole recall. max_hamming > SIMHASH_BANDS - 1 likewise keeps the
+    equi-join recall guarantee only probabilistically (identical banding on
+    both engines keeps oracle parity regardless).
     """
-    # barrier: the 4 byte-band expressions each reference `simhash`; without
-    # materialization the whole 32-aggregate fingerprint is recomputed per band
+    # barrier: the 4 band expressions each reference `simhash`; without
+    # materialization the whole 60-aggregate fingerprint is recomputed per band
     fp = (
         simhash_fingerprints(df, id_col, text_col)
         .select(id_col, "simhash")
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
+    bb, mask = C.SIMHASH_BAND_BITS, C.SIMHASH_BAND_MASK
     bands = fp.select(
         F.col(id_col).alias("doc_id"),
         "simhash",
@@ -402,21 +423,31 @@ def simhash_neardup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("byte_idx"),
-                        F.expr(f"(shiftright(simhash, {8 * b}) & 255L)").alias("byte_val"),
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"(shiftright(simhash, {bb * b}) & {mask}L)"
+                        ).alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(C.SIMHASH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.byte_idx", "band.byte_val")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        cool = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(cool, ["band_idx", "band_val"])
     pairs = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             on=[
-                F.col("a.byte_idx") == F.col("b.byte_idx"),
-                F.col("a.byte_val") == F.col("b.byte_val"),
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )

@@ -179,6 +179,25 @@ class TestDedup:
         assert (0, 2) in got  # hamming 0
         assert (pairs.hamming <= 3).all()
 
+    def test_simhash_bucket_cap(self, docs, spark):
+        """max_bucket prunes hot band buckets from candidate generation:
+        identity when buckets are under the cap, empty when the whole
+        corpus collapses into one hot bucket."""
+        key = lambda pdf: sorted(
+            (int(a), int(b)) for a, b in zip(pdf.doc_a, pdf.doc_b)
+        )
+        free = dedup.simhash_neardup_pairs(docs, max_hamming=3, max_bucket=None)
+        capped = dedup.simhash_neardup_pairs(docs, max_hamming=3, max_bucket=1000)
+        assert key(free.toPandas()) == key(capped.toPandas())
+
+        clones = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(30), "text": ["same text for every doc"] * 30}
+            )
+        )
+        hot = dedup.simhash_neardup_pairs(clones, max_hamming=3, max_bucket=8)
+        assert hot.count() == 0  # every band bucket holds all 30 docs > cap
+
     def test_embedding_neardup(self, spark):
         base = np.eye(4, dtype=np.float32)[[0, 0, 1, 2]]
         base[1, 1] = 0.01  # near-dup of row 0
