@@ -381,9 +381,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-3 (scale path; rows-only check)."""
+    """LSH-bucketed approximate top-3 with flip-1-bit multi-probe
+    (8 planes, 9 probed buckets per query — the scale path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ivf_topk(emb, query_ids=range(20), k=3)
+    return S.ivf_topk(emb, query_ids=range(20), k=3, n_planes=8, multiprobe=True)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF multi-probe path against the exact cosine
+    baseline, per query — the ANN shippability metric (VERDICT r01 #4)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.recall_at_k(emb, query_ids=range(20), k=3, n_planes=8, multiprobe=True)
 
 
 def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +593,75 @@ def _simhash_sql_expr() -> str:
     return " + ".join(terms)
 
 
+def _ivf_sql(n_planes: int = 8, k: int = 3) -> str:
+    """DuckDB twin of similarity.ivf_topk with flip-1-bit multi-probe:
+    probe p=0 is the query's own bucket; probe p>=1 flips bit p-1."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', n_planes)} AS bucket FROM q),
+        qs AS (
+            SELECT vec_id AS query_id, qv AS q_qv, bucket AS q_bucket
+            FROM b WHERE vec_id < 20
+        ),
+        probes AS (
+            SELECT query_id, q_qv,
+                   CASE WHEN p.p = 0 THEN q_bucket
+                        ELSE xor(q_bucket, (1 << (p.p - 1))) END AS probe_bucket
+            FROM qs, LATERAL (SELECT unnest(generate_series(0, {n_planes})) AS p) p
+        ),
+        pairs AS (
+            SELECT query_id, b.vec_id AS neighbor_id,
+                   {_INT_COSINE.format(a='q_qv', b='b.qv')} AS cosine
+            FROM probes JOIN b ON b.bucket = probes.probe_bucket
+                         AND b.vec_id <> probes.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs
+        )
+        WHERE rank <= {k}
+    """
+
+
+_EXACT_ANN_SQL = """
+    WITH q AS (
+        SELECT vec_id,
+            list_transform(embedding,
+                x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qs AS (
+        SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE vec_id < 20
+    ),
+    pairs AS (
+        SELECT query_id, q.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(list_zip(q_qv, q.qv),
+                                         p -> p[1] * p[2])) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(q_qv, v -> v*v)) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(q.qv, v -> v*v)) AS DOUBLE)))
+            AS cosine
+        FROM qs, q
+        WHERE q.vec_id <> qs.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 3
+"""
+
+
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
@@ -631,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "langid_docs": q_langid_docs,
         "quality_docs": q_quality_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -934,62 +1012,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         """,
-        "ann_ivf_topk": f"""
-            WITH q AS (
-                SELECT vec_id,
-                    list_transform(embedding,
-                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-                FROM embeddings
+        "ann_ivf_topk": _ivf_sql(n_planes=8, k=3),
+        "ann_recall": f"""
+            WITH exact AS (
+                SELECT query_id, neighbor_id FROM ({_EXACT_ANN_SQL}) e
             ),
-            b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', 6)} AS bucket FROM q),
-            qs AS (
-                SELECT vec_id AS query_id, qv AS q_qv, bucket AS q_bucket
-                FROM b WHERE vec_id < 20
-            ),
-            pairs AS (
-                SELECT query_id, b.vec_id AS neighbor_id,
-                       {_INT_COSINE.format(a='q_qv', b='b.qv')} AS cosine
-                FROM qs JOIN b ON b.bucket = qs.q_bucket
-                             AND b.vec_id <> qs.query_id
+            approx AS (
+                SELECT query_id, neighbor_id FROM ({_ivf_sql(8, 3)}) a
+            ),  -- noqa: composed from the two checked ANN oracles
+            hits AS (
+                SELECT e.query_id, count(*) AS hits
+                FROM exact e JOIN approx a
+                  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                GROUP BY 1
             )
-            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS rank
-                FROM pairs
-            )
-            WHERE rank <= 3
+            SELECT q.query_id,
+                   CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+                   COALESCE(h.hits, 0) / 3.0 AS recall
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h ON h.query_id = q.query_id
         """,
-        "ann_cosine_topk": """
-            WITH q AS (
-                SELECT vec_id,
-                    list_transform(embedding,
-                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-                FROM embeddings
-            ),
-            qs AS (
-                SELECT vec_id AS query_id, qv AS q_qv FROM q WHERE vec_id < 20
-            ),
-            pairs AS (
-                SELECT query_id, q.vec_id AS neighbor_id,
-                    CAST(list_sum(list_transform(list_zip(q_qv, q.qv),
-                                                 p -> p[1] * p[2])) AS DOUBLE)
-                    / (sqrt(CAST(list_sum(list_transform(q_qv, v -> v*v)) AS DOUBLE))
-                       * sqrt(CAST(list_sum(list_transform(q.qv, v -> v*v)) AS DOUBLE)))
-                    AS cosine
-                FROM qs, q
-                WHERE q.vec_id <> qs.query_id
-            )
-            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS rank
-                FROM pairs
-            )
-            WHERE rank <= 3
-        """,
+        "ann_cosine_topk": _EXACT_ANN_SQL,
         "langid_docs": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
             hits AS (

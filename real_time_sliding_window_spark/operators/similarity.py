@@ -68,10 +68,24 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int = 8,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: search only vectors sharing the query's sign-sketch
-    bucket. Same output schema as cosine_topk (rank within the bucket)."""
+    """Approximate top-k: search only vectors in the query's sign-sketch
+    bucket — plus, with ``multiprobe``, the n_planes flip-1-bit neighbor
+    buckets. Same output schema as cosine_topk (rank within the probed set).
+
+    Scale/recall knobs (VERDICT r01 #3): ``n_planes`` sets the bucket count
+    (2^n_planes — more planes = smaller buckets = less work but lower
+    recall per probe); ``multiprobe`` compensates by also probing every
+    bucket at hamming distance 1 from the query's (the sketch bits most
+    likely to disagree between true neighbors are single flips), searching
+    (n_planes+1)/2^n_planes of the corpus instead of 1/2^n_planes. The
+    probe fan-out is an exploded broadcast of the (small) query set — the
+    corpus is scanned once, hash-joined on its single bucket key. Measured
+    recall@k vs the exact baseline: `recall_at_k` / the ann_recall driver
+    query (BENCH/ANN.md).
+    """
     q = _quantized(emb, id_col, vec_col)
     bucketed = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
     queries = bucketed.filter(F.col("vec_id").isin(list(query_ids))).select(
@@ -79,6 +93,15 @@ def ivf_topk(
         F.col("qv").alias("q_qv"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        probes = [F.col("q_bucket")] + [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        queries = queries.select(
+            "query_id",
+            "q_qv",
+            F.explode(F.array(*probes)).alias("q_bucket"),
+        )
     pairs = F.broadcast(queries).join(
         bucketed, on=[F.col("q_bucket") == F.col("bucket")]
     ).filter(F.col("query_id") != F.col("vec_id"))
@@ -93,4 +116,38 @@ def ivf_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def recall_at_k(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Per-query recall@k of ivf_topk against the exact cosine_topk baseline.
+
+    Output: (query_id, hits, recall) with recall = |ivf ∩ exact| / k — the
+    shippability metric for the approximate path (an ANN operator with
+    unmeasured recall is not a pipeline component). Both sides use the same
+    quantized cosine, so the comparison is exact."""
+    exact = cosine_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        emb, query_ids, k, id_col, vec_col, n_planes, multiprobe
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k)).cast("double").alias("recall"),
     )

@@ -233,6 +233,44 @@ class TestSimilarity:
         for q in best_approx.index:
             assert best_approx[q] <= best_exact[q] + 1e-12
 
+    def test_ivf_multiprobe_recall(self, spark):
+        """Multi-probe lifts recall in LSH's designed regime (true near
+        neighbors): deterministic planted corpus — base vectors + cosine
+        ~0.95 perturbations of the query vectors."""
+        rng = np.random.default_rng(7)
+        dim, n_base, n_q, per_q = 16, 200, 10, 3
+        base = rng.normal(0, 1, (n_base, dim))
+        rows = [
+            {"vec_id": i, "embedding": base[i].tolist()} for i in range(n_base)
+        ]
+        nid = n_base
+        for qi in range(n_q):
+            v = base[qi] / np.linalg.norm(base[qi])
+            for _ in range(per_q):
+                noise = rng.normal(0, 1, dim)
+                noise -= noise @ v * v
+                noise /= np.linalg.norm(noise)
+                w = 0.95 * v + np.sqrt(1 - 0.95**2) * noise
+                rows.append({"vec_id": nid, "embedding": w.tolist()})
+                nid += 1
+        emb = spark.createDataFrame(pd.DataFrame(rows))
+        single = (
+            similarity.recall_at_k(
+                emb, range(n_q), k=per_q, n_planes=8, multiprobe=False
+            )
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+        multi = (
+            similarity.recall_at_k(
+                emb, range(n_q), k=per_q, n_planes=8, multiprobe=True
+            )
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+        assert multi >= single
+        assert multi >= 0.6  # measured ~0.8+ in this regime (BENCH/ANN.md)
+
 
 class TestText:
     def test_language_id(self, docs):
