@@ -250,6 +250,28 @@ def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_role_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class item-count gauges (reference BucketedWindow.kt:32-33,
+    Metrics.kt:108-137): per-day window, count per event_type ('class')
+    plus its within-window share in exact permille — the batch twin of the
+    streaming with_role_gauges observation."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    per_win = SqlWindow.partitionBy("w")
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_rows",
+        F.floor(F.lit(1000) * F.col("n_rows") / F.sum("n_rows").over(per_win))
+        .cast("long")
+        .alias("share_permille"),
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication of documents by content hash: canonical id (min
     doc_id) + duplicate count per distinct text."""
@@ -692,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "rollup_cascade_events": q_rollup_cascade_events,
         "salted_window_events": q_salted_window_events,
+        "role_counts_events": q_role_counts_events,
         "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
@@ -871,6 +894,21 @@ def oracle_sql() -> dict[str, str]:
                 max(ts) AS last_ts
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "role_counts_events": """
+            WITH counts AS (
+                SELECT
+                    time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+                    event_type,
+                    count(*) AS n_rows
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n_rows,
+                   CAST(floor(1000 * n_rows
+                              / sum(n_rows) OVER (PARTITION BY window_start))
+                        AS BIGINT) AS share_permille
+            FROM counts
         """,
         "orders_by_segment": """
             SELECT

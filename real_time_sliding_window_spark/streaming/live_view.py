@@ -1,0 +1,145 @@
+"""Live view of OPEN windows — update-output-mode twin of the append sink.
+
+The reference's primary read path is polling the in-flight bucket
+(`FixedTumblingBucketedWindow.kt:80-98` ``currentBucket``/``buckets``
+getters, exercised at `FixedTumblingBucketedWindowTest.kt:287-291`): "what
+is in the window RIGHT NOW", before the window closes. The append-mode
+pipeline (streaming/pipeline.py + sink.py) only surfaces windows after the
+watermark passes their end — correct for the finalized feed, useless for
+the live question.
+
+This module answers it with Structured Streaming's UPDATE output mode: the
+windowed aggregation emits every window group that changed in each
+micro-batch (including the open one), and a foreachBatch upsert keeps the
+latest value per (window, keys). The store is the same
+filesystem-as-Iceberg pattern as ExactlyOnceParquetSink: per-batch delta
+parquet + commit markers (idempotent on redelivery), with the read side
+resolving the newest version per key — MERGE-on-read, exactly what
+`iceberg.merge_batch_into_iceberg` does server-side on a real cluster.
+
+Scale notes: each micro-batch writes only CHANGED groups (delta size is
+bounded by update activity, not window count); the read-side
+latest-version-per-key resolution is one window function over the deltas —
+at production scale you would compact (or use the Iceberg MERGE twin), and
+the read is partition-pruned by window_start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SqlWindow
+
+from real_time_sliding_window_spark.config import WindowSpec
+from real_time_sliding_window_spark.streaming.pipeline import windowed_stream
+
+
+class LiveWindowView:
+    """Upsert store + read API for update-mode window aggregates."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.delta_dir = os.path.join(root, "delta")
+        self.commit_dir = os.path.join(root, "_commits")
+        for d in (self.delta_dir, self.commit_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- sink side -----------------------------------------------------
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{batch_id}.json")
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: idempotent delta write of changed groups."""
+        if os.path.exists(self._marker(batch_id)):
+            return  # redelivered after recovery — exactly-once no-op
+        target = os.path.join(self.delta_dir, f"batch_id={batch_id}")
+        tmp = os.path.join(self.root, f"_tmp_{batch_id}_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        m = self._marker(batch_id)
+        with open(m + ".tmp", "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.rename(m + ".tmp", m)
+
+    def start(
+        self,
+        stream: DataFrame,
+        spec: WindowSpec,
+        checkpoint: str,
+        ts_col: str = "ts",
+        keys: Sequence[str] = (),
+        trigger_available_now: bool = True,
+        query_name: str = "rtsw-live-view",
+    ):
+        """Start the update-mode window aggregation into this view.
+
+        Returns the running StreamingQuery (caller owns stop/await).
+        """
+        agg = windowed_stream(stream, spec, ts_col=ts_col, keys=keys)
+        writer = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: self.write_batch(df, bid)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- read side -------------------------------------------------------
+    def _committed(self) -> list[str]:
+        ids = sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self.commit_dir)
+            if n.endswith(".json")
+        )
+        return [
+            p
+            for b in ids
+            if os.path.exists(p := os.path.join(self.delta_dir, f"batch_id={b}"))
+        ]
+
+    def buckets(
+        self, spark: SparkSession, keys: Sequence[str] = ()
+    ) -> DataFrame:
+        """Latest state of EVERY window seen so far (open and closed) —
+        the reference's ``buckets`` getter. One row per (window, keys):
+        newest delta version wins (merge-on-read)."""
+        paths = self._committed()
+        if not paths:
+            raise FileNotFoundError(f"no committed deltas under {self.root}")
+        # batch_id is encoded in the path; recover it as the version column
+        deltas = spark.read.option("basePath", self.delta_dir).parquet(*paths)
+        w = SqlWindow.partitionBy("window_start", *keys).orderBy(
+            F.col("batch_id").desc()
+        )
+        return (
+            deltas.withColumn("__v", F.row_number().over(w))
+            .filter(F.col("__v") == 1)
+            .drop("__v", "batch_id")
+        )
+
+    def current_bucket(
+        self,
+        spark: SparkSession,
+        now: datetime,
+        keys: Sequence[str] = (),
+    ) -> DataFrame:
+        """The reference's ``currentBucket`` getter: the live contents of
+        the window containing ``now`` — readable mid-stream, BEFORE the
+        watermark closes it."""
+        return self.buckets(spark, keys).filter(
+            (F.col("window_start") <= F.lit(now))
+            & (F.col("window_end") > F.lit(now))
+        )

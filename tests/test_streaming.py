@@ -432,3 +432,92 @@ class TestIcebergGating:
         stream = spark.readStream.schema(synth.TRANSCRIPT_SCHEMA).parquet(str(src))
         with pytest.raises(RuntimeError, match="ring_buffer_stream"):
             stateful_tws.ring_buffer_stream_v2(stream, timedelta(seconds=1))
+
+
+class TestRoleGauges:
+    def test_observed_per_role_counts(self, spark, tmp_path):
+        """Per-class item-count gauges (reference BucketedWindow.kt:32-33 /
+        Metrics.kt:108-137): with_role_gauges plants observe() counters on
+        the streaming plan; the lineage listener accumulates them per batch
+        and the totals equal the true per-role input counts."""
+        from real_time_sliding_window_spark.streaming import lineage
+        from real_time_sliding_window_spark.streaming.lineage import with_role_gauges
+
+        listener = lineage.attach(spark)
+        try:
+            feed = FileFeed(spark, str(tmp_path / "gauge_in"))
+            sink = ExactlyOnceParquetSink(str(tmp_path / "gauge_out"))
+            feed.push(rows(
+                ("c1", 0, "user", "a", None, 0),
+                ("c1", 1, "assistant", "b", None, 1),
+                ("c1", 2, "tool", "c", "search", 2),
+                ("c1", 3, "user", "d", None, 3),
+                ("c2", 0, "user", "e", None, 0),
+            ))
+            gauged = with_role_gauges(feed.stream())
+            run_to_sink(gauged, sink, str(tmp_path / "gauge_ckpt"), query_name="gauges")
+            # listener delivery is async — poll briefly for the progress event
+            import time
+
+            deadline = time.monotonic() + 15
+            totals = listener.role_gauge_totals()
+            while not totals and time.monotonic() < deadline:
+                time.sleep(0.2)
+                totals = listener.role_gauge_totals()
+            assert totals.get("n_total") == 5
+            assert totals.get("n_user") == 3
+            assert totals.get("n_assistant") == 1
+            assert totals.get("n_tool") == 1
+        finally:
+            spark.streams.removeListener(listener)
+
+
+class TestLiveWindowView:
+    def test_current_bucket_visible_mid_stream(self, spark, tmp_path):
+        """The open window is readable BEFORE the watermark closes it, with
+        running counts that grow push by push (reference currentBucket,
+        FixedTumblingBucketedWindowTest.kt:287-291), and closed windows
+        remain readable via buckets()."""
+        from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+        feed = FileFeed(spark, str(tmp_path / "lv_in"))
+        view = LiveWindowView(str(tmp_path / "lv_store"))
+        spec = WindowSpec(
+            name="lv", length="60 seconds", watermark_delay="30 seconds"
+        )
+        ckpt = str(tmp_path / "lv_ckpt")
+
+        def run_push(pdf):
+            feed.push(pdf)
+            q = view.start(
+                feed.stream(), spec, ckpt, keys=["conv_id"], query_name="lv"
+            )
+            q.awaitTermination()
+
+        # push 1: two turns in the 00:00-01:00 window -> visible, n=2
+        run_push(rows(("c1", 0, "user", "a", None, 0),
+                      ("c1", 1, "assistant", "b", None, 5)))
+        cur = view.current_bucket(
+            spark, T0 + 10 * SEC, keys=["conv_id"]
+        ).toPandas()
+        assert len(cur) == 1 and cur.iloc[0]["n_rows"] == 2
+
+        # push 2: one more turn, same window -> running count updates to 3
+        # (the watermark (max_ts - 30s) is still inside the window: OPEN)
+        run_push(rows(("c1", 2, "tool", "c", "search", 20)))
+        cur = view.current_bucket(
+            spark, T0 + 10 * SEC, keys=["conv_id"]
+        ).toPandas()
+        assert len(cur) == 1 and cur.iloc[0]["n_rows"] == 3
+
+        # push 3: a turn two windows later closes window 1; both windows
+        # stay readable, window 1's final state intact
+        run_push(rows(("c1", 3, "user", "d", None, 150)))
+        allw = view.buckets(spark, keys=["conv_id"]).toPandas()
+        assert len(allw) == 2
+        first = allw[allw["n_rows"] == 3]
+        assert len(first) == 1
+        cur2 = view.current_bucket(
+            spark, T0 + 150 * SEC, keys=["conv_id"]
+        ).toPandas()
+        assert len(cur2) == 1 and cur2.iloc[0]["n_rows"] == 1
