@@ -455,22 +455,29 @@ _NGRAM_SQL = f"""
     sizes AS (
         SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
     ),
-    rare AS (
-        SELECT shingle FROM idx GROUP BY 1 HAVING count(*) <= {_NGRAM_MAX_DF}
+    dfs AS (SELECT shingle, count(*) AS df FROM idx GROUP BY 1),
+    ridx AS (
+        SELECT idx.* FROM idx
+        JOIN dfs USING (shingle) WHERE dfs.df <= {_NGRAM_MAX_DF}
     ),
-    cidx AS (SELECT idx.* FROM idx JOIN rare USING (shingle)),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM cidx a
-        JOIN cidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    hsets AS (
+        SELECT idx.doc_id, list(idx.shingle) AS hsh FROM idx
+        JOIN dfs USING (shingle) WHERE dfs.df > {_NGRAM_MAX_DF}
+        GROUP BY 1
+    ),
+    it_r AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_rare
+        FROM ridx a
+        JOIN ridx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     it AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS inter
-        FROM cand c
-        JOIN idx ia ON ia.doc_id = c.doc_a
-        JOIN idx ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
-        GROUP BY 1, 2
+        SELECT doc_a, doc_b,
+               inter_rare + COALESCE(len(list_intersect(ha.hsh, hb.hsh)), 0)
+                   AS inter
+        FROM it_r
+        LEFT JOIN hsets ha ON ha.doc_id = it_r.doc_a
+        LEFT JOIN hsets hb ON hb.doc_id = it_r.doc_b
     )
     SELECT doc_a, doc_b, inter,
            sa.sz + sb.sz - inter AS union_sz,
