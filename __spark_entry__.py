@@ -390,9 +390,10 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dups via sign-sketch buckets (rows-only)."""
+    """Embedding cosine near-dups via sign-sketch buckets with flip-1-bit
+    multi-probe (recall measured in BENCH/ANN.md)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return D.embedding_neardup_pairs(emb, min_cosine=0.35)
+    return D.embedding_neardup_pairs(emb, min_cosine=0.35, multiprobe=True)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,10 +1050,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', 8)} AS bucket FROM q),
+            probed AS (
+                SELECT vec_id, qv,
+                       CASE WHEN p.p = 0 THEN bucket
+                            ELSE xor(bucket, (1 << (p.p - 1))) END AS bucket
+                FROM b, LATERAL (SELECT unnest(generate_series(0, 8)) AS p) p
+            ),
             pairs AS (
                 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
                        {_INT_COSINE.format(a='a.qv', b='b2.qv')} AS cosine
-                FROM b a
+                FROM probed a
                 JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
             )
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35

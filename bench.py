@@ -45,7 +45,11 @@ BATCH_QUERIES = [
     "ngram_jaccard_docs",
     "topk_events_per_user",
     "simhash_docs",
+    "simhash_neardup_docs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_recall",
+    "role_counts_events",
     "quality_docs",
     "lineitem_pricing",
 ]

@@ -510,15 +510,32 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     n_planes: int = 8,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicates: sign-sketch LSH buckets + exact (quantized)
     cosine verification. The sketch is the sign pattern against n_planes
     pseudo-random hyperplanes derived from dimension parity — per-row math,
-    zero shuffle until the bucket join."""
+    zero shuffle until the bucket join.
+
+    ``multiprobe`` raises recall the same way as similarity.ivf_topk: side A
+    additionally probes the n_planes buckets at hamming distance 1, so a
+    true near-dup pair split by ONE disagreeing sketch bit still meets
+    (probe cost: side A is exploded (n_planes+1)x; side B keeps one bucket
+    key, so the join stays an equi-join). vec_a < vec_b plus distinct probe
+    values keep the output duplicate-free. Measured recall: BENCH/ANN.md.
+    """
     q = emb.select(F.col(id_col).alias("vec_id"), C.quantize(vec_col).alias("qv"))
     bucketed = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
+    left = bucketed
+    if multiprobe:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        left = bucketed.select(
+            "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+        )
     pairs = (
-        bucketed.alias("a")
+        left.alias("a")
         .join(
             bucketed.alias("b"),
             on=[

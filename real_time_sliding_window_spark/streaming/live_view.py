@@ -143,3 +143,13 @@ class LiveWindowView:
             (F.col("window_start") <= F.lit(now))
             & (F.col("window_end") > F.lit(now))
         )
+
+    def non_current_buckets(
+        self,
+        spark: SparkSession,
+        now: datetime,
+        keys: Sequence[str] = (),
+    ) -> DataFrame:
+        """The reference's ``nonCurrentBuckets`` getter: every window that
+        ended at or before ``now`` (closed buckets only)."""
+        return self.buckets(spark, keys).filter(F.col("window_end") <= F.lit(now))

@@ -521,3 +521,8 @@ class TestLiveWindowView:
             spark, T0 + 150 * SEC, keys=["conv_id"]
         ).toPandas()
         assert len(cur2) == 1 and cur2.iloc[0]["n_rows"] == 1
+        # nonCurrentBuckets getter: only the closed first window
+        closed = view.non_current_buckets(
+            spark, T0 + 150 * SEC, keys=["conv_id"]
+        ).toPandas()
+        assert len(closed) == 1 and closed.iloc[0]["n_rows"] == 3
