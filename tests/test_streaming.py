@@ -526,3 +526,33 @@ class TestLiveWindowView:
             spark, T0 + 150 * SEC, keys=["conv_id"]
         ).toPandas()
         assert len(closed) == 1 and closed.iloc[0]["n_rows"] == 3
+
+
+class TestKafkaGating:
+    def test_unavailable_raises_actionable_error(self, spark):
+        """No Kafka connector in this sandbox: the production source must
+        refuse clearly, pointing at the FileFeed twin."""
+        from real_time_sliding_window_spark.sources import kafka
+
+        assert kafka.kafka_available(spark) is False
+        with pytest.raises(RuntimeError, match="FileFeed"):
+            kafka.transcript_kafka_stream(spark, "broker:9092", "turns")
+
+    def test_payload_roundtrip(self, spark):
+        """to_kafka_payload (key=conv_id, value=JSON) composed with the
+        source's from_json parse is lossless — the (de)serialization
+        contract is testable without a broker."""
+        from real_time_sliding_window_spark.sources.kafka import to_kafka_payload
+
+        df = synth.to_spark(spark, rows(
+            ("c1", 0, "user", "hello", None, 0),
+            ("c2", 1, "tool", "result", "search", 5),
+        ))
+        payload = to_kafka_payload(df)
+        back = payload.select(
+            F.from_json(F.col("value"), synth.TRANSCRIPT_SCHEMA).alias("t"), "key"
+        ).select("t.*", "key").toPandas().sort_values("conv_id")
+        assert list(back["key"]) == list(back["conv_id"]) == ["c1", "c2"]
+        assert list(back["turn_idx"]) == [0, 1]
+        assert list(back["tool"].fillna("-")) == ["-", "search"]
+        assert list(back["ts"]) == [T0, T0 + 5 * SEC]
