@@ -86,6 +86,21 @@ def q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (clicks keep sessions
+    alive 30 minutes, everything else 10): F.session_window with a Column
+    gap — the engine merges events while ts <= running max(ts + gap)."""
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return W.session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        gap,
+        keys=["user_id"],
+    )
+
+
 VIEW_NOW = datetime(2024, 2, 1)
 VIEW_START = datetime(2024, 1, 10)
 
@@ -715,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events": q_tumbling_events,
         "sliding_events": q_sliding_events,
         "session_events": q_session_events,
+        "session_events_dynamic": q_session_events_dynamic,
         "ondemand_view_events": q_ondemand_view_events,
         "window_content_events": q_window_content_events,
         "interval_join_events": q_interval_join_events,
@@ -804,6 +820,44 @@ def oracle_sql() -> dict[str, str]:
                 min(ts) AS first_ts,
                 max(ts) AS last_ts
             FROM sessions
+            GROUP BY user_id, session_id
+        """,
+        "session_events_dynamic": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'click' THEN INTERVAL 30 MINUTE
+                            ELSE INTERVAL 10 MINUTE END AS gap
+                FROM events
+            ),
+            m AS (
+                SELECT *,
+                    max(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) AS prev_reach
+                FROM g
+            ),
+            s AS (
+                SELECT *,
+                    CASE WHEN prev_reach IS NULL OR ts > prev_reach
+                         THEN 1 ELSE 0 END AS new_session
+                FROM m
+            ),
+            sid AS (
+                SELECT *,
+                    sum(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM s
+            )
+            SELECT
+                min(ts) AS session_start,
+                max(ts + gap) AS session_end,
+                user_id,
+                count(*) AS n_rows,
+                min(ts) AS first_ts,
+                max(ts) AS last_ts
+            FROM sid
             GROUP BY user_id, session_id
         """,
         "ondemand_view_events": """

@@ -112,7 +112,7 @@ def windowed_agg(
 def session_agg(
     df: DataFrame,
     ts_col: str,
-    gap: timedelta,
+    gap: timedelta | Column,
     keys: Sequence[str] = (),
     extra_aggs: Sequence[Column] = (),
     content_payload: Sequence[str] | None = None,
@@ -120,11 +120,17 @@ def session_agg(
 ) -> DataFrame:
     """Session window aggregation via built-in F.session_window.
 
-    session start = first event ts, session end = last event ts + gap
-    (Spark semantics; the DuckDB oracle replicates this with a gap-based
-    island computation — see __spark_entry__.oracle_sql).
+    session start = first event ts, session end = max over the session of
+    (event ts + that event's gap) (Spark semantics; the DuckDB oracle
+    replicates this with a gap-based island computation — see
+    __spark_entry__.oracle_sql). ``gap`` may be a Column (interval string
+    per row) for DYNAMIC gaps — e.g. role-dependent inactivity timeouts;
+    an event joins the session while its ts is <= the running
+    max(prior ts + prior gap) (inclusive merge, verified cross-engine).
     """
-    win = F.session_window(ts_col, interval_str(gap))
+    win = F.session_window(
+        ts_col, gap if isinstance(gap, Column) else interval_str(gap)
+    )
     aggs = _std_aggs(ts_col)
     if content_payload is not None:
         aggs.append(_content_col(ts_col, order_cols, content_payload).alias("content"))

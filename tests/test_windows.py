@@ -299,3 +299,33 @@ def test_cascading_rollup_matches_direct(spark):
     b = direct.toPandas().sort_values(["window_start", "role"]).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_session_agg_dynamic_gap(spark):
+    """Per-row gap: a click keeps the session alive 30 min, a view 5 min;
+    an event merges while its ts <= running max(prior ts + prior gap), and
+    session_end = max(ts + own gap) (verified against the DuckDB oracle in
+    the session_events_dynamic driver query)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    T = NOW
+    df = spark.createDataFrame(pd.DataFrame({
+        "u": ["a"] * 4,
+        "t": ["click", "view", "click", "view"],
+        "ts": [T, T + timedelta(minutes=5), T + timedelta(minutes=14),
+               T + timedelta(minutes=50)],
+    }))
+    gap = F.when(F.col("t") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    out = (
+        W.session_agg(df, "ts", gap, keys=["u"])
+        .toPandas()
+        .sort_values("session_start")
+    )
+    # view@5m (own reach 10m) still merges via click@0's 30m reach; the
+    # view@50m is beyond click@14m's reach (44m) -> second session
+    assert list(out["n_rows"]) == [3, 1]
+    assert out.iloc[0]["session_end"] == T + timedelta(minutes=44)
+    assert out.iloc[1]["session_end"] == T + timedelta(minutes=55)
