@@ -330,6 +330,38 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join: BUILDING-segment customers x orders
+    x lineitem, revenue per order, deterministic top-10. The dimension
+    (filtered customer) broadcasts; Catalyst picks the join order; the
+    tiebreak chain (revenue desc, o_orderdate, l_orderkey) makes the limit
+    hash-stable."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(datetime(1995, 3, 15))
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(datetime(1995, 3, 15))
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_cents.alias("revenue_cents"))
+        .orderBy(
+            F.col("revenue_cents").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (returnflag, linestatus): subtotals + grand total in one pass
     (Catalyst expands grouping sets into a single Expand + hash agg — no
@@ -744,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": q_text_stats_docs,
         "lineitem_pricing": q_lineitem_pricing,
         "rollup_lineitem": q_rollup_lineitem,
+        "top_unshipped_orders": q_top_unshipped_orders,
         "click_not_purchase_users": q_click_not_purchase_users,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -1021,6 +1054,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "top_unshipped_orders": """
+            SELECT
+                l_orderkey,
+                o_orderdate,
+                o_orderpriority,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "click_not_purchase_users": """
             SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour

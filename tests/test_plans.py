@@ -33,3 +33,42 @@ def test_window_agg_single_shuffle(spark):
     assert sc["partial_agg"]
     # one shuffle for the group-by (+ possibly AQE read) — never a global sort
     assert sc["exchanges"] <= 2
+
+
+def test_bucketed_join_no_join_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key sort-merge-join with ZERO
+    Exchange on either join side — the only shuffle left is the final small
+    aggregation (storage.py co-location contract)."""
+    from pyspark.sql import functions as F
+
+    from real_time_sliding_window_spark.storage import (
+        join_shuffle_count,
+        write_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "orders_b", ["o_orderkey"], 4)
+        write_bucketed(li, "lineitem_b", ["l_orderkey"], 4)
+
+        def agg(l, o):
+            return l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+                "o_orderpriority"
+            ).agg(F.count(F.lit(1)).alias("n"))
+
+        bucketed = agg(spark.table("lineitem_b"), spark.table("orders_b"))
+        plain = agg(li, orders)
+        assert join_shuffle_count(bucketed) == 1   # final agg only
+        assert join_shuffle_count(plain) >= 3      # both join sides + agg
+        # co-location is free semantically: identical results
+        a = sorted(map(tuple, bucketed.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
