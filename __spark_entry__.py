@@ -287,6 +287,39 @@ def q_role_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregates: exact interpolated p50/p95 of value-cents per
+    event_type (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    interpolation over the sorted set — cross-engine exact on integer
+    inputs). Scale note: exact percentiles sort per group; at 100 TB use
+    approx_percentile (t-digest) unless the group fits an executor."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("p50_cents"),
+        F.expr("percentile(cents, 0.95)").alias("p95_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts spread into one column per event_type
+    (Catalyst lowers .pivot to a single pass of conditional aggregates —
+    no join, no extra shuffle beyond the groupBy)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .pivot("event_type", ["click", "view", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in ["click", "view", "purchase", "signup"]
+        ],
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication of documents by content hash: canonical id (min
     doc_id) + duplicate count per distinct text."""
@@ -771,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade_events": q_rollup_cascade_events,
         "salted_window_events": q_salted_window_events,
         "role_counts_events": q_role_counts_events,
+        "value_percentiles": q_value_percentiles,
+        "events_type_pivot": q_events_type_pivot,
         "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
@@ -1004,6 +1039,26 @@ def oracle_sql() -> dict[str, str]:
                               / sum(n_rows) OVER (PARTITION BY window_start))
                         AS BIGINT) AS share_permille
             FROM counts
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                       AS p50_cents,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
+                       AS p95_cents,
+                   count(*) AS n_rows
+            FROM events
+            GROUP BY 1
+        """,
+        "events_type_pivot": """
+            SELECT
+                time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup
+            FROM events
+            GROUP BY 1
         """,
         "orders_by_segment": """
             SELECT
