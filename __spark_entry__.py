@@ -320,6 +320,43 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping-set levels in
+    one Expand + hash agg pass (no re-scan per level)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "dow", F.dayofweek("ts").cast("long")
+    ).withColumn("cents", _cents())
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic RANGE frames per user ordered by event time: lifetime
+    running total (unbounded preceding) + trailing-1h moving sum. Frames
+    are defined on epoch seconds so ties include all peer rows on both
+    engines — deterministic regardless of intra-tie order."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents()).withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    cum = SqlWindow.partitionBy("user_id").orderBy("ts_sec").rangeBetween(
+        SqlWindow.unboundedPreceding, 0
+    )
+    hour = SqlWindow.partitionBy("user_id").orderBy("ts_sec").rangeBetween(
+        -3599, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("cents").over(cum).alias("running_cents"),
+        F.sum("cents").over(hour).alias("hour_cents"),
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication of documents by content hash: canonical id (min
     doc_id) + duplicate count per distinct text."""
@@ -806,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_counts_events": q_role_counts_events,
         "value_percentiles": q_value_percentiles,
         "events_type_pivot": q_events_type_pivot,
+        "cube_events": q_cube_events,
+        "user_running_value": q_user_running_value,
         "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
@@ -1039,6 +1078,33 @@ def oracle_sql() -> dict[str, str]:
                               / sum(n_rows) OVER (PARTITION BY window_start))
                         AS BIGINT) AS share_permille
             FROM counts
+        """,
+        "cube_events": """
+            SELECT event_type,
+                   dayofweek(ts) + 1 AS dow,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events
+            GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+        """,
+        "user_running_value": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+                FROM events
+            )
+            SELECT user_id, event_id, ts,
+                CAST(sum(cents) OVER (
+                    PARTITION BY user_id ORDER BY ts_sec
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS running_cents,
+                CAST(sum(cents) OVER (
+                    PARTITION BY user_id ORDER BY ts_sec
+                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS hour_cents
+            FROM c
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -87,6 +87,20 @@ def deduped_stream(
     return wm.dropDuplicatesWithinWatermark(list(keys))
 
 
+def enriched_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the (re-evaluated per batch, broadcast when small) static DataFrame —
+    no state, no watermark needed; the streaming side never shuffles for
+    the join when the dim broadcasts. The standard pattern for decorating
+    turns with slowly-changing metadata (tool registry, user segments)."""
+    return stream.join(F.broadcast(dim), on=list(keys), how=how)
+
+
 def user_tool_stream_join(
     transcripts: DataFrame,
     horizon: timedelta = timedelta(seconds=10),

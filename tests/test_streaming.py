@@ -556,3 +556,34 @@ class TestKafkaGating:
         assert list(back["turn_idx"]) == [0, 1]
         assert list(back["tool"].fillna("-")) == ["-", "search"]
         assert list(back["ts"]) == [T0, T0 + 5 * SEC]
+
+
+class TestStreamStaticJoin:
+    def test_enriched_stream_broadcast_dim(self, spark, tmp_path):
+        """Stream-static enrichment: tool turns decorated from a static
+        registry; unmatched tools keep NULL metadata (left join), and the
+        static side is broadcast — the streaming side never shuffles."""
+        from real_time_sliding_window_spark.streaming.pipeline import enriched_stream
+
+        dim = spark.createDataFrame(
+            pd.DataFrame({"tool": ["search", "calc"],
+                          "tool_category": ["retrieval", "math"]})
+        )
+
+        def pipe(stream):
+            return enriched_stream(
+                stream.filter(F.col("role") == "tool"), dim, keys=["tool"]
+            ).select("conv_id", "turn_idx", "tool", "tool_category")
+
+        pushes = [rows(
+            ("c1", 0, "tool", "a", "search", 0),
+            ("c1", 1, "tool", "b", "calc", 1),
+            ("c1", 2, "tool", "c", "unknown_tool", 2),
+            ("c1", 3, "user", "d", None, 3),
+        )]
+        _, snaps = drive(spark, tmp_path, pipe, pushes, "enrich")
+        final = snaps[-1].sort_values("turn_idx")
+        assert list(final["turn_idx"]) == [0, 1, 2]
+        assert list(final["tool_category"].fillna("-")) == [
+            "retrieval", "math", "-"
+        ]
