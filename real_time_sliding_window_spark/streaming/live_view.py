@@ -144,6 +144,49 @@ class LiveWindowView:
             & (F.col("window_end") > F.lit(now))
         )
 
+    def compact(self, spark: SparkSession, keys: Sequence[str] = ()) -> int:
+        """Fold all deltas into one resolved snapshot (merge-on-read →
+        merge-on-write), so read cost returns to one scan regardless of how
+        many micro-batches have run — the filesystem analogue of Iceberg
+        snapshot compaction. Returns the number of deltas folded away.
+
+        The snapshot takes the OLDEST existing batch id, never a new one:
+        Structured Streaming epoch ids keep increasing from the checkpoint
+        after a restart, so a snapshot at max_id+1 would collide with the
+        stream's next epoch and the sink's idempotence check would silently
+        SKIP that real batch. Folding downward can't collide (those epochs
+        are already consumed) and resolution is unchanged — every key's
+        latest surviving version is the snapshot unless a newer delta
+        exists.
+
+        Maintenance-window operation: run while the streaming query is
+        stopped and no reader is active — replacing the oldest delta dir is
+        not atomic on a plain filesystem (the Iceberg twin gets atomicity
+        from snapshot commits).
+        """
+        paths = self._committed()
+        if len(paths) <= 1:
+            return 0
+        resolved = self.buckets(spark, keys)
+        old_ids = sorted(int(p.rsplit("=", 1)[1]) for p in paths)
+        snap_id = old_ids[0]
+        tmp = os.path.join(self.root, f"_tmp_snap_{uuid.uuid4().hex}")
+        resolved.write.mode("overwrite").parquet(tmp)
+        # drop newer deltas first: until the snapshot lands, every key's
+        # data is still present in (old snapshot target ∪ tmp)
+        for b in old_ids[1:]:
+            shutil.rmtree(
+                os.path.join(self.delta_dir, f"batch_id={b}"), ignore_errors=True
+            )
+            try:
+                os.remove(self._marker(b))
+            except FileNotFoundError:
+                pass
+        target = os.path.join(self.delta_dir, f"batch_id={snap_id}")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+        return len(old_ids) - 1
+
     def non_current_buckets(
         self,
         spark: SparkSession,

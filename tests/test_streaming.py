@@ -587,3 +587,50 @@ class TestStreamStaticJoin:
         assert list(final["tool_category"].fillna("-")) == [
             "retrieval", "math", "-"
         ]
+
+
+class TestLiveViewCompaction:
+    def test_compact_preserves_state_and_stream_resumes(self, spark, tmp_path):
+        """Compaction folds every delta into the OLDEST batch id; state
+        reads identically, and — critically — the resumed stream's next
+        epoch id does not collide with the snapshot (a max_id+1 snapshot
+        would be silently skipped by the sink's idempotence check)."""
+        import os
+
+        from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+        feed = FileFeed(spark, str(tmp_path / "cp_in"))
+        view = LiveWindowView(str(tmp_path / "cp_store"))
+        spec = WindowSpec(
+            name="cp", length="60 seconds", watermark_delay="30 seconds"
+        )
+        ckpt = str(tmp_path / "cp_ckpt")
+
+        def run_push(pdf):
+            feed.push(pdf)
+            q = view.start(
+                feed.stream(), spec, ckpt, keys=["conv_id"], query_name="cp"
+            )
+            q.awaitTermination()
+
+        run_push(rows(("c1", 0, "user", "a", None, 0)))
+        run_push(rows(("c1", 1, "user", "b", None, 5)))
+        run_push(rows(("c2", 0, "user", "c", None, 70)))
+        before = view.buckets(spark, keys=["conv_id"]).toPandas()
+        # >= 2: availableNow may add a watermark-advance epoch per push,
+        # so 3 pushes yield up to 6 deltas — all but one fold away
+        folded = view.compact(spark, keys=["conv_id"])
+        assert folded >= 2
+        after = view.buckets(spark, keys=["conv_id"]).toPandas()
+        key = lambda p: sorted(
+            map(tuple, p[["conv_id", "window_start", "n_rows"]].itertuples(index=False))
+        )
+        assert key(before) == key(after)
+        assert len(os.listdir(view.delta_dir)) == 1  # one snapshot delta
+
+        # the stream resumes from the same checkpoint: its next epoch (3)
+        # must land (would be skipped if the snapshot had taken id 3)
+        run_push(rows(("c1", 2, "user", "d", None, 10)))
+        final = view.buckets(spark, keys=["conv_id"]).toPandas()
+        c1w0 = final[(final.conv_id == "c1")]
+        assert sorted(c1w0["n_rows"]) == [3]  # running count updated to 3
