@@ -357,6 +357,24 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-day pivoted counts back to long form —
+    one (window_start, event_type, n) row per non-zero cell. Spark lowers
+    unpivot to a single Expand (no join, no shuffle beyond the source)."""
+    wide = q_events_type_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["window_start"],
+        values=[f"n_{t}" for t in ["click", "view", "purchase", "signup"]],
+        variableColumnName="event_type",
+        valueColumnName="n_rows",
+    )
+    return long.select(
+        "window_start",
+        F.expr("substr(event_type, 3)").alias("event_type"),
+        "n_rows",
+    ).filter(F.col("n_rows") > 0)
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication of documents by content hash: canonical id (min
     doc_id) + duplicate count per distinct text."""
@@ -845,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "cube_events": q_cube_events,
         "user_running_value": q_user_running_value,
+        "events_type_unpivot": q_events_type_unpivot,
         "orders_by_segment": q_orders_by_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats_docs": q_text_stats_docs,
@@ -1078,6 +1097,15 @@ def oracle_sql() -> dict[str, str]:
                               / sum(n_rows) OVER (PARTITION BY window_start))
                         AS BIGINT) AS share_permille
             FROM counts
+        """,
+        "events_type_unpivot": """
+            SELECT
+                time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+                event_type,
+                count(*) AS n_rows
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+            GROUP BY 1, 2
         """,
         "cube_events": """
             SELECT event_type,
