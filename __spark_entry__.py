@@ -495,6 +495,16 @@ def q_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
+def q_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed production dedup: exact-dedup first (one hash agg), near-dup
+    clustering over canonical texts only, expansion back to all docs.
+    Clusters are provably identical to neardup_clusters on the raw corpus
+    (exact dups have jaccard 1), so the oracle is the same recursive-CTE
+    SQL — the hash match proves the pipeline composition is semantically
+    free while collapsing duplicate mass before the expensive stage."""
+    return D.full_dedup(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
     ev = _events(spark, sf_dir)
@@ -874,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "neardup_clusters_docs": q_neardup_clusters_docs,
+        "dedup_pipeline_docs": q_dedup_pipeline_docs,
         "topk_events_per_user": q_topk_events_per_user,
         "distinct_user_types": q_distinct_user_types,
         "simhash_docs": q_simhash_docs,
@@ -1231,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_docs": _minhash_oracle_sql(),
         "ngram_jaccard_docs": _NGRAM_SQL,
         "neardup_clusters_docs": _CLUSTERS_SQL,
+        "dedup_pipeline_docs": _CLUSTERS_SQL,
         "topk_events_per_user": """
             SELECT user_id, event_id, event_type, ts, CAST(rank AS INTEGER) AS rank
             FROM (

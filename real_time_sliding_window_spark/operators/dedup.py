@@ -390,6 +390,56 @@ def neardup_clusters(
     return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
 
 
+def full_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = 128,
+) -> DataFrame:
+    """The composed training-data dedup pipeline: exact dedup FIRST, then
+    near-dup clustering over canonical texts only, then expansion back to
+    every document. Output schema = neardup_clusters (doc_id, cluster_id,
+    cluster_size) and — because exact duplicates have jaccard 1 ≥ any
+    threshold — the clusters are IDENTICAL to running neardup_clusters on
+    the raw corpus (pinned by test + the shared driver oracle).
+
+    Why this shape at 100 TB: web corpora are exact-dup heavy (mirrors,
+    reposts); collapsing them with one cheap hash-aggregate BEFORE the
+    near-dup stage shrinks the quadratic-ish candidate generation by the
+    duplication factor, and shingle document frequencies are computed over
+    distinct texts — so corpus-wide boilerplate df is not inflated by
+    mirror counts (the more faithful df for the max_df cap).
+    """
+    groups = exact_dedup(df, id_col, text_col).localCheckpoint(eager=True)
+    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
+    canon_docs = df.join(canon_ids, id_col)
+    canon_clusters = neardup_clusters(
+        canon_docs, id_col, text_col, shingle_k, min_jaccard, max_df
+    ).withColumnRenamed(id_col, "canonical_id").withColumnRenamed(
+        "cluster_size", "__canon_size"
+    )
+    # expand: every doc inherits its canonical's cluster; cluster_size
+    # counts ALL member docs (exact dups included). cluster_id stays the
+    # min doc id of the whole cluster because each canonical is already
+    # the min of its exact-dup group.
+    membership = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .join(groups.select("text_hash", "canonical_id"), "text_hash")
+        .select(id_col, "canonical_id")
+    )
+    expanded = membership.join(canon_clusters, "canonical_id").select(
+        id_col, "cluster_id"
+    )
+    sizes = expanded.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return expanded.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -132,6 +132,19 @@ class TestDedup:
             assert by_doc.loc[d, "cluster_size"] == 1
         assert len(out) == 8
 
+    def test_full_dedup_equals_raw_clusters(self, docs, spark):
+        """The composed pipeline (exact dedup -> near-dup on canonicals ->
+        expand) must produce byte-identical clusters to neardup_clusters on
+        the raw corpus — exact dups have jaccard 1, so collapsing them first
+        is semantically free."""
+        key = lambda pdf: sorted(
+            map(tuple, pdf[["doc_id", "cluster_id", "cluster_size"]]
+                .itertuples(index=False))
+        )
+        raw = dedup.neardup_clusters(docs, min_jaccard=0.2).toPandas()
+        piped = dedup.full_dedup(docs, min_jaccard=0.2).toPandas()
+        assert key(raw) == key(piped)
+
     def test_connected_components_chain(self, spark):
         """A chain a-b, b-c, c-d collapses to one component via propagation
         (needs >1 round — exercises the iteration, not just the join)."""
