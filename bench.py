@@ -39,6 +39,7 @@ BATCH_QUERIES = [
     "asof_purchase_click",
     "rollup_cascade_events",
     "neardup_clusters_docs",
+    "dedup_pipeline_docs",
     "ondemand_view_events",
     "dedup_exact_docs",
     "minhash_neardup_docs",
