@@ -505,6 +505,43 @@ def q_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.full_dedup(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed 25% sample: selection is a pure
+    function of doc_id (md5 bucket), so it reproduces across runs,
+    engines, partitionings, and incremental ingest — the reproducible
+    alternative to RNG TABLESAMPLE."""
+    from real_time_sliding_window_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", rate_pct=25).select(
+        "doc_id", "source"
+    )
+
+
+def q_split_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (hash ranges on
+    doc_id) — per (source, split) doc counts."""
+    from real_time_sliding_window_spark.operators.sampling import split_assignment
+
+    return (
+        split_assignment(_docs(spark, sf_dir), "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: held-out (val/test) docs sharing >=1 word
+    3-gram with any train doc, via the df-capped inverted-index semi-join
+    — one row per contaminated held-out doc with its evidence count."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        decontaminate,
+        split_assignment,
+    )
+
+    docs = split_assignment(_docs(spark, sf_dir), "doc_id")
+    return decontaminate(docs, shingle_k=3, max_df=128)
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
     ev = _events(spark, sf_dir)
@@ -885,6 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "neardup_clusters_docs": q_neardup_clusters_docs,
         "dedup_pipeline_docs": q_dedup_pipeline_docs,
+        "hash_sample_docs": q_hash_sample_docs,
+        "split_counts_docs": q_split_counts_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "topk_events_per_user": q_topk_events_per_user,
         "distinct_user_types": q_distinct_user_types,
         "simhash_docs": q_simhash_docs,
@@ -1243,6 +1283,56 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_SQL,
         "neardup_clusters_docs": _CLUSTERS_SQL,
         "dedup_pipeline_docs": _CLUSTERS_SQL,
+        "hash_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 < 25
+        """,
+        "split_counts_docs": """
+            WITH b AS (
+                SELECT source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                           % 100 AS bucket
+                FROM documents
+            )
+            SELECT source,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "decontaminate_docs": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT *,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                            % 100 AS b
+                    FROM documents
+                )
+            ),
+            base AS (
+                SELECT doc_id, split,
+                    list_distinct(
+                        list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+                FROM (SELECT doc_id, split, string_split(text, ' ') AS w FROM s)
+            ),
+            idx AS (SELECT doc_id, split, unnest(sh) AS shingle FROM base),
+            rare AS (
+                SELECT shingle FROM idx GROUP BY 1 HAVING count(*) <= 128
+            ),
+            cidx AS (SELECT idx.* FROM idx JOIN rare USING (shingle)),
+            tr AS (SELECT DISTINCT shingle FROM cidx WHERE split = 'train')
+            SELECT doc_id, split, count(*) AS n_contaminated_shingles
+            FROM cidx JOIN tr USING (shingle)
+            WHERE split IN ('val', 'test')
+            GROUP BY 1, 2
+        """,
         "topk_events_per_user": """
             SELECT user_id, event_id, event_type, ts, CAST(rank AS INTEGER) AS rank
             FROM (

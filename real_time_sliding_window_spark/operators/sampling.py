@@ -1,0 +1,110 @@
+"""Deterministic sampling, split assignment, and decontamination.
+
+Training-data pipelines need reproducible row selection at 100 TB, which
+rules out RNG-based sampling (`df.sample` draws differ per run, per
+partitioning, and per engine). Everything here is CONTENT-ADDRESSED:
+selection is a pure function of a key column via md5, so
+
+- the same row lands in the same sample/split on every run, every engine
+  (DuckDB oracle is expression-identical), and after any repartition;
+- sampling composes with incremental ingest (new rows don't reshuffle old
+  assignments) — the property ``TABLESAMPLE`` and seeded RNG lack;
+- everything is one map-side expression: zero shuffle until the caller
+  aggregates.
+
+`decontaminate` is the classic eval-set hygiene pass: find held-out
+documents sharing any word k-gram with the training split — the same
+inverted-index + df-cap machinery as dedup.ngram_jaccard_pairs, but as a
+semi-join across splits instead of a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_sliding_window_spark.functions import columns as C
+from real_time_sliding_window_spark.util import ensure_parallelism
+
+
+def hash_bucket(key_col: str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 4 md5 hex chars of the
+    stringified key, mod n_buckets — exact int math on both engines."""
+    return F.expr(
+        f"cast(conv(substr(md5(cast({key_col} as string)), 1, 4), 16, 10) as bigint)"
+        f" % {n_buckets}"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_pct: int, n_buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate_pct — a reproducible ~rate_pct%
+    sample, stable under reruns, repartitioning, and incremental ingest."""
+    return df.filter(hash_bucket(key_col, n_buckets) < rate_pct)
+
+
+def split_assignment(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Append a deterministic train/val/test split column (hash ranges:
+    [0,train) train, [train,train+val) val, rest test)."""
+    b = hash_bucket(key_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    holdout_splits: tuple[str, ...] = ("val", "test"),
+    shingle_k: int = 8,
+    max_df: int | None = 128,
+) -> DataFrame:
+    """Held-out docs sharing ≥1 word k-gram with any train doc.
+
+    Output: (id_col, split, n_contaminated_shingles) — one row per
+    CONTAMINATED held-out doc; a pipeline drops them (or the matching train
+    docs) before training. k=8 is the common eval-decontamination gram
+    size. The join is an inverted-index semi-join restricted to
+    sub-max_df shingles (corpus-wide boilerplate is not contamination
+    evidence — same df-cap reasoning, and the same linear bound, as
+    ngram_jaccard_pairs; BENCH/DFCAP.md).
+    """
+    words = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(split_col).alias("split"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+    )
+    base = words.select(
+        "doc_id",
+        "split",
+        F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__sh"),
+    ).localCheckpoint(eager=True)
+    index = base.select("doc_id", "split", F.explode("__sh").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            index.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        index = index.join(rare, "shingle")
+    train_sh = index.filter(F.col("split") == "train").select("shingle").distinct()
+    held = index.filter(F.col("split").isin(list(holdout_splits)))
+    return (
+        held.join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias(id_col), "split")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )

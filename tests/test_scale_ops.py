@@ -384,3 +384,59 @@ class TestSkew:
             )
             expect = [tuple(r) for r in plain.loc[(ws, conv), "content"]]
             assert merged == expect
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_under_repartition(self, spark):
+        """Content-addressed sampling selects the same rows no matter how
+        the data is partitioned or re-run — the reproducibility property
+        RNG sampling lacks."""
+        from real_time_sliding_window_spark.operators import sampling
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = sorted(r.doc_id for r in sampling.hash_sample(df, "doc_id", 25).collect())
+        b = sorted(
+            r.doc_id
+            for r in sampling.hash_sample(df.repartition(7), "doc_id", 25).collect()
+        )
+        assert a == b and 0 < len(a) < 2000
+        # rate is approximately honored (md5 buckets are uniform)
+        assert abs(len(a) / 2000 - 0.25) < 0.05
+
+    def test_split_assignment_partitions_corpus(self, spark):
+        from real_time_sliding_window_spark.operators import sampling
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        out = sampling.split_assignment(df, "doc_id").toPandas()
+        counts = out["split"].value_counts()
+        assert set(counts.index) == {"train", "val", "test"}
+        assert counts.sum() == 2000
+        assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+    def test_decontaminate_flags_overlap_only(self, spark):
+        """A held-out doc sharing a rare 3-gram with train is flagged with
+        the exact shared-shingle count; clean docs and boilerplate-only
+        overlaps are not."""
+        from real_time_sliding_window_spark.operators.sampling import decontaminate
+
+        boiler = "terms and conditions apply to every document here now ok"
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "split": ["train", "train", "test", "test", "val", "train"],
+            "text": [
+                f"unique alpha beta gamma delta {boiler}",
+                f"different content entirely words {boiler}",
+                f"copy of alpha beta gamma delta {boiler}",   # overlaps doc 0
+                f"totally clean heldout text xyz {boiler}",   # boilerplate only
+                f"different content entirely words {boiler}", # exact dup of 1
+                f"more train stuff {boiler}",
+            ],
+        })
+        df = spark.createDataFrame(pdf)
+        out = decontaminate(
+            df, shingle_k=3, max_df=3
+        ).toPandas().set_index("doc_id")
+        assert 2 in out.index            # rare-shingle overlap with train
+        assert 4 in out.index            # exact dup of a train doc
+        assert 3 not in out.index        # boilerplate (df>cap) is not evidence
+        assert out.loc[2, "n_contaminated_shingles"] >= 3
