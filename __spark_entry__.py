@@ -542,6 +542,29 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, shingle_k=3, max_df=128)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks with a 16-token stride
+    (50% overlap) — one row per chunk, all JVM-side expressions."""
+    from real_time_sliding_window_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, stride=16
+    )
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token packing: per-source doc->bin assignment at a
+    512-token budget (running cumsum over deterministic doc_id order),
+    rolled up to per-(source, pack) counts."""
+    from real_time_sliding_window_spark.operators.chunking import pack_documents
+
+    packs = pack_documents(_docs(spark, sf_dir), budget_tokens=512)
+    return packs.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
     ev = _events(spark, sf_dir)
@@ -925,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "split_counts_docs": q_split_counts_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "chunk_docs": q_chunk_docs,
+        "pack_docs": q_pack_docs,
         "topk_events_per_user": q_topk_events_per_user,
         "distinct_user_types": q_distinct_user_types,
         "simhash_docs": q_simhash_docs,
@@ -1332,6 +1357,50 @@ def oracle_sql() -> dict[str, str]:
             FROM cidx JOIN tr USING (shingle)
             WHERE split IN ('val', 'test')
             GROUP BY 1, 2
+        """,
+        "chunk_docs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            n AS (
+                SELECT doc_id, w,
+                    greatest(CAST(ceil((len(w) - 32) / 16.0) AS INTEGER) + 1, 1)
+                        AS nc
+                FROM w
+            ),
+            c AS (
+                SELECT doc_id, i.i AS chunk_idx,
+                       array_to_string(w[i.i * 16 + 1 : i.i * 16 + 32], ' ')
+                           AS chunk_text
+                FROM n, LATERAL (
+                    SELECT unnest(generate_series(0, nc - 1)) AS i
+                ) i
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+                   CAST(length(chunk_text)
+                        - length(replace(chunk_text, ' ', '')) + 1
+                        AS BIGINT) AS n_tokens
+            FROM c
+        """,
+        "pack_docs": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, source, n_tokens,
+                    CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                        AS BIGINT) AS pack_id
+                FROM t
+            )
+            SELECT source, pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM p GROUP BY 1, 2
         """,
         "topk_events_per_user": """
             SELECT user_id, event_id, event_type, ts, CAST(rank AS INTEGER) AS rank

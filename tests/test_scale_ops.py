@@ -440,3 +440,48 @@ class TestSampling:
         assert 4 in out.index            # exact dup of a train doc
         assert 3 not in out.index        # boilerplate (df>cap) is not evidence
         assert out.loc[2, "n_contaminated_shingles"] >= 3
+
+
+class TestChunking:
+    def test_chunk_coverage_and_overlap(self, spark):
+        """Chunks tile the token stream: with stride < size consecutive
+        chunks overlap by (size - stride) tokens; every token appears in
+        some chunk; short docs yield exactly one (short) chunk."""
+        from real_time_sliding_window_spark.operators.chunking import chunk_documents
+
+        words = [f"w{i}" for i in range(100)]
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": [" ".join(words), "tiny doc"],
+        })
+        out = chunk_documents(
+            spark.createDataFrame(pdf), chunk_tokens=32, stride=16
+        ).toPandas()
+        d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+        # ceil((100-32)/16)+1 = 6 chunks
+        assert len(d0) == 6
+        first = d0.iloc[0]["chunk_text"].split(" ")
+        second = d0.iloc[1]["chunk_text"].split(" ")
+        assert first == words[:32] and second == words[16:48]
+        assert first[16:] == second[:16]  # 16-token overlap
+        covered = {w for t in d0["chunk_text"] for w in t.split(" ")}
+        assert covered == set(words)
+        d1 = out[out.doc_id == 1]
+        assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "tiny doc"
+        assert d1.iloc[0]["n_tokens"] == 2
+
+    def test_pack_documents_budget(self, spark):
+        """Sequential packing: bins respect the cumulative-token boundary
+        and the assignment is deterministic in doc_id order."""
+        from real_time_sliding_window_spark.operators.chunking import pack_documents
+
+        pdf = pd.DataFrame({
+            "doc_id": range(6),
+            "source": ["s"] * 6,
+            "text": [" ".join(["w"] * n) for n in (40, 40, 40, 40, 40, 40)],
+        })
+        out = pack_documents(
+            spark.createDataFrame(pdf), budget_tokens=100
+        ).toPandas().sort_values("doc_id")
+        # cumsum before each doc: 0,40,80,120,160,200 -> bins 0,0,0,1,1,2
+        assert list(out["pack_id"]) == [0, 0, 0, 1, 1, 2]
