@@ -9,10 +9,14 @@ batch interface — the Spark-side contract (schema, batch shape,
 partitioning) is real and tested; swap the kernel for a real decoder in a
 codec-equipped image.
 
-Scale notes: binary columns inflate row size — ``maxRecordsPerBatch`` is
-lowered per-pass so Arrow batches stay ~tens of MB; feature extraction
-emits fixed-width arrays (columnar-friendly) rather than per-row Python
-objects.
+Scale notes: binary columns inflate row size. Two guards: (1) the decode
+kernel processes and YIELDS fixed-size slices (``batch_rows``) inside the
+generator, so peak Python memory is bounded by slice size regardless of
+how large the incoming Arrow batch is; (2) for the input side, lower
+``spark.sql.execution.arrow.maxRecordsPerBatch`` session-wide when payloads
+are large (it is a session conf read at execution time — get_spark defaults
+it to 10,000, sized for text rows). Feature extraction emits fixed-width
+arrays (columnar-friendly) rather than per-row Python objects.
 """
 
 from __future__ import annotations
@@ -73,13 +77,17 @@ def _fake_decode(payload: pd.Series, dim: int = 16) -> np.ndarray:
     return out
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, feature_dim: int = 16, batch_rows: int = 256
+) -> DataFrame:
     """binary payload -> fixed-width feature vector + content hash.
 
     content_hash and n_bytes are computed JVM-side (``F.md5`` / ``F.length``
     over the binary column — codegen, no Python) BEFORE the Arrow pass; the
     pandas kernel only does the one thing Spark can't: decode. (The stub
-    decoder's per-row loop is inherent to any real codec.)
+    decoder's per-row loop is inherent to any real codec.) The kernel
+    decodes and yields ``batch_rows``-sized slices so peak Python-side
+    memory stays bounded even when the incoming Arrow batch is large.
     """
     prepped = media.select(
         "media_id",
@@ -91,16 +99,18 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode(pdf["payload"], feature_dim)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["n_bytes"],
-                    "content_hash": pdf["content_hash"],
-                    "features": list(feats),
-                }
-            )
+            for lo in range(0, len(pdf), batch_rows):
+                sl = pdf.iloc[lo:lo + batch_rows]
+                feats = _fake_decode(sl["payload"], feature_dim)
+                yield pd.DataFrame(
+                    {
+                        "media_id": sl["media_id"].to_numpy(),
+                        "kind": sl["kind"].to_numpy(),
+                        "n_bytes": sl["n_bytes"].to_numpy(),
+                        "content_hash": sl["content_hash"].to_numpy(),
+                        "features": list(feats),
+                    }
+                )
 
     return prepped.mapInPandas(run, schema=FEATURE_SCHEMA)
 

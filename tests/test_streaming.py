@@ -634,3 +634,24 @@ class TestLiveViewCompaction:
         final = view.buckets(spark, keys=["conv_id"]).toPandas()
         c1w0 = final[(final.conv_id == "c1")]
         assert sorted(c1w0["n_rows"]) == [3]  # running count updated to 3
+
+
+class TestLiveViewIdempotence:
+    def test_write_batch_redelivery_noop(self, spark, tmp_path):
+        """A redelivered live-view batch id is a no-op (commit-marker
+        dedup) — the same exactly-once contract as the append sink."""
+        from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+        view = LiveWindowView(str(tmp_path / "idem_store"))
+        df1 = spark.createDataFrame(pd.DataFrame({
+            "window_start": [T0], "window_end": [T0 + 60 * SEC],
+            "conv_id": ["c1"], "n_rows": [2],
+        }))
+        df2 = spark.createDataFrame(pd.DataFrame({
+            "window_start": [T0], "window_end": [T0 + 60 * SEC],
+            "conv_id": ["c1"], "n_rows": [99],   # would differ if applied
+        }))
+        view.write_batch(df1, 0)
+        view.write_batch(df2, 0)   # redelivery: must be skipped
+        got = view.buckets(spark, keys=["conv_id"]).toPandas()
+        assert len(got) == 1 and got.iloc[0]["n_rows"] == 2
