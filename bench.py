@@ -52,6 +52,8 @@ BATCH_QUERIES = [
     "ann_recall",
     "role_counts_events",
     "quality_docs",
+    "decontaminate_docs",
+    "chunk_docs",
     "lineitem_pricing",
 ]
 
