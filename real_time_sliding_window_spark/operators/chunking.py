@@ -81,30 +81,48 @@ def pack_documents(
     text_col: str = "text",
     partition_col: str = "source",
     budget_tokens: int = 4096,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Deterministic sequential packing: within each partition key, docs
     (ordered by id) are assigned to bins by cumulative token count —
     pack_id = floor(tokens_before_this_doc / budget). Output one row per
-    doc: (id, partition, n_tokens, pack_id). A doc longer than the budget
-    still gets a bin (chunk first via chunk_documents when that matters).
+    doc: (id, partition[, shard], n_tokens, pack_id). A doc longer than the
+    budget still gets a bin (chunk first via chunk_documents when that
+    matters).
+
+    Scale note: a running sum ordered within a partition key is ONE task
+    per key — sequential packing is inherently serial per stream. With
+    ``n_shards > 1`` docs are first split into deterministic hash shards
+    (content-addressed, like sampling.hash_bucket) and packed per
+    (partition, shard): n_shards independent pack streams per key, each its
+    own task — how parallel packers actually write, at the cost of up to
+    one partially-filled bin per shard instead of one per key.
     """
     n_tok = (
         F.length(text_col)
         - F.length(F.regexp_replace(text_col, " ", ""))
         + F.lit(1)
     ).cast("long")
-    w = (
-        SqlWindow.partitionBy(partition_col)
-        .orderBy(id_col)
-        .rowsBetween(SqlWindow.unboundedPreceding, 0)
-    )
+    part_cols = [partition_col]
     toks = df.select(
         F.col(id_col), F.col(partition_col), n_tok.alias("n_tokens")
+    )
+    if n_shards > 1:
+        shard = F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)), 1, 4), 16, 10) as bigint)"
+            f" % {n_shards}"
+        )
+        toks = toks.withColumn("shard", shard)
+        part_cols.append("shard")
+    w = (
+        SqlWindow.partitionBy(*part_cols)
+        .orderBy(id_col)
+        .rowsBetween(SqlWindow.unboundedPreceding, 0)
     )
     running = F.sum("n_tokens").over(w)
     return toks.select(
         id_col,
-        partition_col,
+        *part_cols,
         "n_tokens",
         F.floor((running - F.col("n_tokens")) / F.lit(budget_tokens))
         .cast("long")

@@ -485,3 +485,30 @@ class TestChunking:
         ).toPandas().sort_values("doc_id")
         # cumsum before each doc: 0,40,80,120,160,200 -> bins 0,0,0,1,1,2
         assert list(out["pack_id"]) == [0, 0, 0, 1, 1, 2]
+
+    def test_pack_documents_sharded(self, spark):
+        """Sharded packing: n_shards independent pack streams per key —
+        every shard obeys the budget, assignments stay deterministic, and
+        every doc is packed exactly once."""
+        from real_time_sliding_window_spark.operators.chunking import pack_documents
+
+        pdf = pd.DataFrame({
+            "doc_id": range(200),
+            "source": ["s"] * 200,
+            "text": [" ".join(["w"] * 50)] * 200,
+        })
+        out = pack_documents(
+            spark.createDataFrame(pdf), budget_tokens=200, n_shards=4
+        ).toPandas()
+        assert len(out) == 200 and out["doc_id"].is_unique
+        assert set(out["shard"]) <= set(range(4))
+        for (_, _), g in out.groupby(["shard", "pack_id"]):
+            assert g["n_tokens"].sum() <= 200 + 50  # last doc may cross
+        # deterministic: same assignment on a differently-partitioned input
+        again = pack_documents(
+            spark.createDataFrame(pdf).repartition(7),
+            budget_tokens=200, n_shards=4,
+        ).toPandas()
+        k = lambda p: sorted(map(tuple, p[["doc_id", "shard", "pack_id"]]
+                                 .itertuples(index=False)))
+        assert k(out) == k(again)
