@@ -29,7 +29,9 @@ from real_time_sliding_window_spark.util import ensure_parallelism
 
 def hash_bucket(key_col: str, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets): first 4 md5 hex chars of the
-    stringified key, mod n_buckets — exact int math on both engines."""
+    stringified key, mod n_buckets — exact int math on both engines.
+    (65,536 hash values mod 100 gives buckets 0-35 a +0.15 % occupancy
+    bias — irrelevant for sampling/splits, and determinism is the point.)"""
     return F.expr(
         f"cast(conv(substr(md5(cast({key_col} as string)), 1, 4), 16, 10) as bigint)"
         f" % {n_buckets}"

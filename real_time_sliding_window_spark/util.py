@@ -17,6 +17,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     so the extra shuffle is only ever paid on inputs small enough for it to
     be trivially cheap.
     """
+    if df.isStreaming:
+        # no .rdd on streaming plans; micro-batch partitioning comes from
+        # the source (maxFilesPerTrigger / topic partitions) — pass through
+        # so the stateless doc operators (chunking, sampling, text) compose
+        # with readStream unchanged
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -655,3 +655,35 @@ class TestLiveViewIdempotence:
         view.write_batch(df2, 0)   # redelivery: must be skipped
         got = view.buckets(spark, keys=["conv_id"]).toPandas()
         assert len(got) == 1 and got.iloc[0]["n_rows"] == 2
+
+
+class TestStatelessDocOpsOnStreams:
+    def test_chunking_composes_with_readstream(self, spark, tmp_path):
+        """The stateless training-data ops are batch/stream-unified: the
+        same chunk_documents call runs on a readStream plan (no .rdd
+        touch, no stateful operator) and yields the same chunks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from real_time_sliding_window_spark.operators.chunking import chunk_documents
+
+        src = tmp_path / "docs_in"
+        src.mkdir()
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": [" ".join(f"w{i}" for i in range(40)), "tiny doc"],
+        })
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / "d0.parquet"))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "docs_out"))
+        run_to_sink(
+            chunk_documents(stream, chunk_tokens=16, stride=16),
+            sink, str(tmp_path / "docs_ckpt"), query_name="chunk_stream",
+        )
+        got = sink.read_committed(spark).toPandas()
+        batch = chunk_documents(
+            spark.createDataFrame(pdf), chunk_tokens=16, stride=16
+        ).toPandas()
+        k = lambda p: sorted(map(tuple, p[["doc_id", "chunk_idx", "chunk_text"]]
+                                 .itertuples(index=False)))
+        assert k(got) == k(batch)
