@@ -835,7 +835,7 @@ def _ivf_sql(n_planes: int = 8, k: int = 3) -> str:
         WITH q AS (
             SELECT vec_id,
                 list_transform(embedding,
-                    x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
             FROM embeddings
         ),
         b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', n_planes)} AS bucket FROM q),
@@ -870,7 +870,7 @@ _EXACT_ANN_SQL = """
     WITH q AS (
         SELECT vec_id,
             list_transform(embedding,
-                x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         FROM embeddings
     ),
     qs AS (
@@ -1470,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT vec_id,
                     list_transform(embedding,
-                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
                 FROM embeddings
             ),
             b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', 8)} AS bucket FROM q),

@@ -169,9 +169,15 @@ def simhash60(hashes_col: str) -> Column:
 
 
 def quantize(embedding_col: str, scale: int = 1000) -> Column:
-    """float array -> exact int64 array (cross-engine-deterministic basis)."""
+    """float array -> exact int64 array (cross-engine-deterministic basis).
+
+    The multiply happens in DOUBLE explicitly: float32 * int keeps float32
+    on some engines and widens on others, and a knife-edge product (x.5
+    boundary) then rounds differently — observed once in 599 sf0.1 pairs
+    before the cast was pinned (cosine mismatch in the 5th decimal)."""
     return F.expr(
-        f"transform({embedding_col}, x -> cast(round(x * {scale}) as long))"
+        f"transform({embedding_col}, "
+        f"x -> cast(round(cast(x as double) * {scale}) as long))"
     )
 
 
