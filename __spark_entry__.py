@@ -477,6 +477,21 @@ def q_click_not_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slots("click").subtract(slots("purchase"))
 
 
+def q_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT): (user, hour) slots with BOTH a click
+    and a purchase — lowers to a left-semi hash join after distinct."""
+    ev = _events(spark, sf_dir)
+
+    def slots(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+            .distinct()
+        )
+
+    return slots("click").intersect(slots("purchase"))
+
+
 def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
@@ -941,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": q_rollup_lineitem,
         "top_unshipped_orders": q_top_unshipped_orders,
         "click_not_purchase_users": q_click_not_purchase_users,
+        "click_and_purchase_users": q_click_and_purchase_users,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "neardup_clusters_docs": q_neardup_clusters_docs,
@@ -1301,6 +1317,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
             FROM events WHERE event_type = 'click'
             EXCEPT
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "click_and_purchase_users": """
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events WHERE event_type = 'click'
+            INTERSECT
             SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
             FROM events WHERE event_type = 'purchase'
         """,

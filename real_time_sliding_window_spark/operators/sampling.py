@@ -110,3 +110,52 @@ def decontaminate(
         .groupBy(F.col("doc_id").alias(id_col), "split")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+
+
+def holdout_shingle_table(
+    holdout: DataFrame, text_col: str = "text", shingle_k: int = 8
+) -> DataFrame:
+    """Distinct word k-grams of a held-out corpus — the static side of the
+    ingest guard. Build once, persist/bucket it; one column, broadcastable
+    when the eval set is small (it usually is)."""
+    words = holdout.select(F.split(F.col(text_col), " ").alias("__w"))
+    return (
+        words.select(
+            F.explode(
+                F.array_distinct(C.shingles_from_words("__w", shingle_k))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def contamination_filter(
+    docs: DataFrame,
+    holdout_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Ingest guard: DROP documents sharing any word k-gram with the
+    held-out shingle table — eval data can never leak into a
+    continuously-ingested training set.
+
+    Batch / micro-batch semantics: explode the incoming docs' shingles,
+    inner-join the (static) holdout table to find hit ids, left-anti join
+    them away. For a streaming ingest apply this inside ``foreachBatch``
+    (each micro-batch is a plain DataFrame there) — a stream-level anti
+    join against a stream-derived distinct would need watermarked state
+    for no benefit, since the guard has no cross-batch memory. Inverse of
+    ``decontaminate`` (which audits an already-landed corpus).
+    """
+    words = docs.withColumn("__w", F.split(F.col(text_col), " "))
+    sh = words.withColumn(
+        "__sh", F.array_distinct(C.shingles_from_words("__w", shingle_k))
+    )
+    hits = (
+        sh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        .join(holdout_shingles.select("shingle"), "shingle")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")

@@ -512,3 +512,53 @@ class TestChunking:
         k = lambda p: sorted(map(tuple, p[["doc_id", "shard", "pack_id"]]
                                  .itertuples(index=False)))
         assert k(out) == k(again)
+
+    def test_contamination_filter_batch_and_stream(self, spark, tmp_path):
+        """The ingest guard drops exactly the docs sharing a k-gram with
+        the holdout table — in batch, and per micro-batch via foreachBatch
+        on a stream."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from real_time_sliding_window_spark.operators.sampling import (
+            contamination_filter,
+            holdout_shingle_table,
+        )
+
+        holdout = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100],
+            "text": ["secret eval question about rare topic xyz"],
+        }))
+        hs = holdout_shingle_table(holdout, shingle_k=3).cache()
+        incoming = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "normal training text with common words",
+                "another document citing the secret eval question verbatim",
+                "more clean training data here",
+            ],
+        })
+        got = contamination_filter(
+            spark.createDataFrame(incoming), hs, shingle_k=3
+        ).toPandas()
+        assert sorted(got["doc_id"]) == [0, 2]  # doc 1 leaked the eval gram
+
+        # streaming ingest: same guard inside foreachBatch
+        src = tmp_path / "guard_in"
+        src.mkdir()
+        pq.write_table(pa.Table.from_pandas(incoming), str(src / "d.parquet"))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        kept = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: kept.extend(
+                    r.doc_id
+                    for r in contamination_filter(df, hs, shingle_k=3).collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(kept) == [0, 2]
