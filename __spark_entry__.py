@@ -580,6 +580,36 @@ def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: the kept set a training pipeline would feed to
+    tokenization — exact-dedup canonicals only, English by the stopword
+    classifier, length >= 5 tokens, lexical diversity >= 200 permille.
+    One scan feeds all three signals; the dedup canonical check is a
+    semi-join on the (small) winning-id set."""
+    docs = _docs(spark, sf_dir)
+    canon = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    lang = T.language_id(docs).select("doc_id", "predicted_lang")
+    qual = T.quality_scores(docs).select(
+        "doc_id", "n_tokens", "distinct_permille"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(canon, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("n_tokens") >= 5)
+            & (F.col("distinct_permille") >= 200)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 most recent events per user (rank-limit pushdown; sort/limit/top-k)."""
     ev = _events(spark, sf_dir)
@@ -975,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "langid_docs": q_langid_docs,
+        "curated_corpus": q_curated_corpus,
         "quality_docs": q_quality_docs,
         "token_counts_docs": q_token_counts_docs,
         "fingerprint_docs": q_fingerprint_docs,
@@ -1532,6 +1563,50 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h ON h.query_id = q.query_id
         """,
         "ann_cosine_topk": _EXACT_ANN_SQL,
+        "curated_corpus": f"""
+            WITH t AS (
+                SELECT doc_id, source, text, {_TOK} AS tok FROM documents
+            ),
+            canon AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            hits AS (
+                SELECT doc_id,
+                    {_hits_sql(["the", "and", "of", "to", "in", "is", "a"])} AS hits_en,
+                    {_hits_sql(["der", "die", "und", "das", "ist", "ein"])} AS hits_de,
+                    {_hits_sql(["el", "la", "que", "los", "una", "es"])} AS hits_es,
+                    {_hits_sql(["le", "les", "et", "des", "une", "est"])} AS hits_fr
+                FROM t
+            ),
+            lang AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN hits_en >= hits_de AND hits_en >= hits_es
+                             AND hits_en >= hits_fr THEN 'en'
+                        WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                        WHEN hits_es >= hits_fr THEN 'es'
+                        ELSE 'fr'
+                    END AS predicted_lang
+                FROM hits
+            ),
+            qual AS (
+                SELECT doc_id,
+                    CAST(len(tok) AS BIGINT) AS n_tokens,
+                    CASE WHEN len(tok) > 0
+                         THEN CAST(floor(1000 * len(list_distinct(tok)) / len(tok))
+                                   AS BIGINT)
+                         ELSE 0 END AS distinct_permille
+                FROM t
+            )
+            SELECT t.doc_id, t.source, q.n_tokens
+            FROM t
+            JOIN canon c ON c.doc_id = t.doc_id
+            JOIN lang l ON l.doc_id = t.doc_id
+            JOIN qual q ON q.doc_id = t.doc_id
+            WHERE l.predicted_lang = 'en'
+              AND q.n_tokens >= 5
+              AND q.distinct_permille >= 200
+        """,
         "langid_docs": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
             hits AS (

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -250,3 +251,29 @@ def ring_buffer_stream(
         if max_duration is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def ring_state_from_actions(actions: DataFrame) -> DataFrame:
+    """Reconstruct each conversation's CURRENT buffer from the emitted
+    ADD/DUP/EVICT action log — event-sourcing replay.
+
+    The action rows are a complete state history: a turn is in the buffer
+    iff it was ADDed and never EVICTed (DUPs never changed state), so the
+    live contents are one left-anti join over the log — the ring-buffer
+    analogue of the reference's ``currentBucket`` getter (the windowed
+    twin is streaming/live_view.py), computable from any sink that kept
+    the log, with no access to the state store. Output: one row per
+    buffered turn, ordered by the buffer's (ts, turn_idx) invariant via
+    ``turn_rank``.
+    """
+    from pyspark.sql.window import Window as SqlWindow
+
+    adds = actions.filter(F.col("action") == "ADD").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    evicts = actions.filter(F.col("action") == "EVICT").select(
+        "conv_id", "turn_idx"
+    )
+    live = adds.join(evicts, ["conv_id", "turn_idx"], "left_anti")
+    w = SqlWindow.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    return live.withColumn("turn_rank", F.row_number().over(w))

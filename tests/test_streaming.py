@@ -687,3 +687,35 @@ class TestStatelessDocOpsOnStreams:
         k = lambda p: sorted(map(tuple, p[["doc_id", "chunk_idx", "chunk_text"]]
                                  .itertuples(index=False)))
         assert k(got) == k(batch)
+
+
+class TestRingReplay:
+    def test_state_replay_matches_live_buffer(self, spark, tmp_path):
+        """Event-sourcing: replaying the emitted ADD/DUP/EVICT log
+        reconstructs exactly the turns the ring buffer currently holds
+        (capacity 2 -> the two newest turns per conversation)."""
+        from real_time_sliding_window_spark.operators.stateful import (
+            ring_state_from_actions,
+        )
+
+        def pipe(stream):
+            return ring_buffer_stream(
+                stream, timedelta(seconds=30), max_data=2
+            )
+
+        pushes = [
+            rows(("c1", 0, "user", "a", None, 0), ("c1", 1, "user", "b", None, 1)),
+            rows(("c1", 2, "user", "c", None, 2)),       # evicts turn 0
+            # turn 0 re-delivered after its eviction: whether the engine
+            # DUPs it or re-adds-and-re-evicts it, replay must agree
+            rows(("c1", 0, "user", "a", None, 0)),
+            rows(("c2", 0, "user", "x", None, 5)),
+        ]
+        sink, _ = drive(spark, tmp_path, pipe, pushes, "replay")
+        log = sink.read_committed(spark)
+        state = ring_state_from_actions(log).toPandas()
+        c1 = state[state.conv_id == "c1"].sort_values("turn_rank")
+        assert list(c1["turn_idx"]) == [1, 2]   # capacity 2: newest two
+        assert list(c1["turn_rank"]) == [1, 2]
+        c2 = state[state.conv_id == "c2"]
+        assert list(c2["turn_idx"]) == [0]
