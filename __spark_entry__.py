@@ -581,32 +581,15 @@ def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation: the kept set a training pipeline would feed to
-    tokenization — exact-dedup canonicals only, English by the stopword
-    classifier, length >= 5 tokens, lexical diversity >= 200 permille.
-    One scan feeds all three signals; the dedup canonical check is a
-    semi-join on the (small) winning-id set."""
-    docs = _docs(spark, sf_dir)
-    canon = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    lang = T.language_id(docs).select("doc_id", "predicted_lang")
-    qual = T.quality_scores(docs).select(
-        "doc_id", "n_tokens", "distinct_permille"
-    )
-    return (
-        docs.select("doc_id", "source")
-        .join(canon, "doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .filter(
-            (F.col("predicted_lang") == "en")
-            & (F.col("n_tokens") >= 5)
-            & (F.col("distinct_permille") >= 200)
-        )
-        .select("doc_id", "source", "n_tokens")
+    """End-to-end curation in ONE pass (operators/text.py::curate_corpus):
+    exact-dedup canonicals (text-hash window, no join), English by the
+    stopword classifier, length >= 5 tokens, lexical diversity >= 200
+    permille — the kept set a training pipeline feeds to tokenization."""
+    return T.curate_corpus(
+        _docs(spark, sf_dir),
+        lang="en",
+        min_tokens=5,
+        min_distinct_permille=200,
     )
 
 

@@ -164,6 +164,22 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
     results["ring_buffer_drain_sec"] = round(dt_dr, 2)
     results["ring_buffer_drain_turns_per_sec"] = round(total_rows / dt_dr)
 
+    # live current-window view: update-mode agg + idempotent delta upsert
+    from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+    lv_root = tempfile.mkdtemp(prefix="rtsw_lv_")
+    lv_ckpt = tempfile.mkdtemp(prefix="rtsw_lv_ck_")
+    view = LiveWindowView(lv_root)
+    t0 = time.monotonic()
+    q = view.start(
+        stream_src(32), spec, lv_ckpt, keys=["conv_id"], query_name="bench_live"
+    )
+    q.awaitTermination()
+    dt_lv = time.monotonic() - t0
+    results["live_view_sec"] = round(dt_lv, 2)
+    results["live_view_turns_per_sec"] = round(total_rows / dt_lv)
+    _CLEANUP_DIRS.extend([lv_root, lv_ckpt])
+
     durs = sorted(
         r["batch_duration_ms"] for r in listener.progress if r["batch_duration_ms"]
     )

@@ -33,6 +33,21 @@ def _hits(tokens_col: str, words: list[str]) -> Column:
     ).cast("long")
 
 
+def _lang_cascade(hits_col) -> Column:
+    """First language (in LANG_ORDER) whose hit count ties the max — a CASE
+    cascade with the same shape as the DuckDB oracle. ``hits_col`` maps
+    lang -> hit-count Column."""
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = hits_col(lang) >= hits_col(other)
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -43,17 +58,60 @@ def language_id(
         F.col(id_col),
         *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_ORDER],
     )
-    # first language (in LANG_ORDER) whose hit count ties the max — a CASE
-    # cascade with the same shape as the DuckDB oracle
-    pred = F.lit(LANG_ORDER[-1])
-    for lang in reversed(LANG_ORDER[:-1]):
-        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
-        cond = None
-        for other in later:
-            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return out.withColumn("predicted_lang", pred)
+    return out.withColumn(
+        "predicted_lang", _lang_cascade(lambda lang: F.col(f"hits_{lang}"))
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = ("source",),
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_distinct_permille: int = 200,
+) -> DataFrame:
+    """End-to-end curation gate in ONE pass: exact-dedup canonicals only
+    (min id per text hash, a window — no join), target language by the
+    stopword argmax, token-count and lexical-diversity thresholds.
+
+    This is the kept set a training pipeline feeds to tokenization. A
+    join-of-derivations formulation scans the table once per signal; here
+    every signal is a column expression over a single scan, and the only
+    shuffle is the text-hash window that picks canonical ids.
+    Output: (id, *extra_cols, n_tokens).
+    """
+    from pyspark.sql.window import Window as SqlWindow
+
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
+    hit_cols = {lg: _hits("__tok", STOPWORDS[lg]) for lg in LANG_ORDER}
+    pred = _lang_cascade(lambda lg: hit_cols[lg])
+    n_tok = F.size("__tok").cast("long")
+    n_distinct = F.expr("size(array_distinct(__tok))").cast("long")
+    permille = F.when(
+        n_tok > 0, F.floor(F.lit(1000) * n_distinct / n_tok)
+    ).otherwise(F.lit(0)).cast("long")
+    canon = F.min(id_col).over(
+        SqlWindow.partitionBy(F.md5(F.col(text_col)))
+    )
+    return (
+        t.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            n_tok.alias("n_tokens"),
+            pred.alias("__lang"),
+            permille.alias("__permille"),
+            canon.alias("__canon"),
+        )
+        .filter(
+            (F.col(id_col) == F.col("__canon"))
+            & (F.col("__lang") == lang)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("__permille") >= min_distinct_permille)
+        )
+        .select(id_col, *extra_cols, "n_tokens")
+    )
 
 
 def quality_scores(
