@@ -172,8 +172,15 @@ class LiveWindowView:
         snap_id = old_ids[0]
         tmp = os.path.join(self.root, f"_tmp_snap_{uuid.uuid4().hex}")
         resolved.write.mode("overwrite").parquet(tmp)
-        # drop newer deltas first: until the snapshot lands, every key's
-        # data is still present in (old snapshot target ∪ tmp)
+        # Replace the OLDEST delta with the snapshot FIRST: once it lands,
+        # the store is fully consistent — every newer delta's per-key value
+        # equals the snapshot's resolved value, so the cleanup below is
+        # safe to crash in and re-run. The only inconsistent window is the
+        # rmtree→rename of the oldest dir itself (sub-second; the Iceberg
+        # twin gets true atomicity from snapshot commits).
+        target = os.path.join(self.delta_dir, f"batch_id={snap_id}")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
         for b in old_ids[1:]:
             shutil.rmtree(
                 os.path.join(self.delta_dir, f"batch_id={b}"), ignore_errors=True
@@ -182,9 +189,6 @@ class LiveWindowView:
                 os.remove(self._marker(b))
             except FileNotFoundError:
                 pass
-        target = os.path.join(self.delta_dir, f"batch_id={snap_id}")
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(tmp, target)
         return len(old_ids) - 1
 
     def non_current_buckets(
