@@ -417,9 +417,7 @@ def full_dedup(
     canon_docs = df.join(canon_ids, id_col)
     canon_clusters = neardup_clusters(
         canon_docs, id_col, text_col, shingle_k, min_jaccard, max_df
-    ).withColumnRenamed(id_col, "canonical_id").withColumnRenamed(
-        "cluster_size", "__canon_size"
-    )
+    ).select(F.col(id_col).alias("canonical_id"), "cluster_id")
     # expand: every doc inherits its canonical's cluster; cluster_size
     # counts ALL member docs (exact dups included). cluster_id stays the
     # min doc id of the whole cluster because each canonical is already
