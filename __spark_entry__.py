@@ -211,6 +211,38 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_click_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join through the union/last-value-carry physical plan
+    (joins.as_of_join_union — one shuffle, no candidate fan-out; 2.8x on
+    dense right sides, BENCH/JOINS.md). Shares asof_purchase_click's
+    oracle, so BOTH strategies are hash-gated every round."""
+    from real_time_sliding_window_spark.operators.joins import as_of_join_union
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = as_of_join_union(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        horizon=timedelta(hours=2),
+        tiebreakers=["event_id"],
+    )
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
 def q_rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascading rollup: 6h windows re-aggregated from 1h
     partials, themselves from 15m partials — value-identical to a direct 6h
@@ -925,6 +957,26 @@ _EXACT_ANN_SQL = """
 """
 
 
+_ASOF_SQL = """
+            WITH cand AS (
+                SELECT p.user_id,
+                       p.event_id AS purchase_id, p.ts AS purchase_ts,
+                       c.event_id AS click_id, c.ts AS click_ts,
+                       row_number() OVER (
+                           PARTITION BY p.user_id, p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM events p
+                JOIN events c
+                  ON p.user_id = c.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 2 HOUR
+                WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            )
+            SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+            FROM cand WHERE rn = 1
+        """
+
+
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
@@ -954,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "distinct_users_per_day": q_distinct_users_per_day,
         "asof_purchase_click": q_asof_purchase_click,
+        "asof_purchase_click_union": q_asof_purchase_click_union,
         "rollup_cascade_events": q_rollup_cascade_events,
         "salted_window_events": q_salted_window_events,
         "role_counts_events": q_role_counts_events,
@@ -1147,24 +1200,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        "asof_purchase_click": """
-            WITH cand AS (
-                SELECT p.user_id,
-                       p.event_id AS purchase_id, p.ts AS purchase_ts,
-                       c.event_id AS click_id, c.ts AS click_ts,
-                       row_number() OVER (
-                           PARTITION BY p.user_id, p.event_id
-                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
-                FROM events p
-                JOIN events c
-                  ON p.user_id = c.user_id
-                 AND c.ts <= p.ts
-                 AND c.ts >= p.ts - INTERVAL 2 HOUR
-                WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-            )
-            SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
-            FROM cand WHERE rn = 1
-        """,
+        "asof_purchase_click_union": _ASOF_SQL,
+        "asof_purchase_click": _ASOF_SQL,
         "rollup_cascade_events": """
             SELECT
                 time_bucket(INTERVAL 6 HOUR, ts) AS window_start,

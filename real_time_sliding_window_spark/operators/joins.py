@@ -121,6 +121,98 @@ def as_of_join(
     )
 
 
+def as_of_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    horizon: timedelta | None = None,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join via union + last-value carry — same contract and output
+    schema as :func:`as_of_join`, different physical strategy.
+
+    The interval-join + rank plan materializes one row per (left row,
+    right row in horizon): with dense right sides and wide horizons the
+    candidate volume is |left| × rights-per-horizon — quadratic-ish
+    (measured: BENCH/JOINS.md). This plan is the classic merge_asof
+    algorithm: tag and UNION both sides, sort per key by (ts, side,
+    tiebreakers) with rights ordered before lefts at equal ts, and carry
+    the last non-null right payload down with ``last(..., ignoreNulls)``
+    over a running frame — exactly one shuffle and one sort of
+    |left| + |right| rows, no candidate blow-up, identical results
+    (pinned by test + the same driver oracle).
+
+    The horizon is applied post-carry (drop matches older than
+    left.ts − horizon) — it bounds nothing here, so unlike
+    :func:`as_of_join` an unbounded as-of costs the same as a bounded one.
+    """
+    rstruct = F.struct(*[F.col(c) for c in right.columns if c not in keys])
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("x")).schema["x"].dataType
+        ).alias("__r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+          for c in tiebreakers],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("x")
+            ).schema["x"].dataType
+        ).alias("__l"),
+        rstruct.alias("__r"),
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreakers],
+    )
+    from pyspark.sql.window import Window
+
+    # rights sort BEFORE lefts at equal ts (inclusive right.ts <= left.ts);
+    # among equal-ts rights, ascending tiebreakers so last() picks the max —
+    # the same winner as as_of_join's descending rank-1
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreakers],
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    if horizon is not None:
+        carried = carried.filter(
+            F.col(f"__match.{right_ts}")
+            >= F.col("__ts") - F.expr(f"interval {interval_str(horizon)}")
+        )
+    else:
+        carried = carried.filter(F.col("__match").isNotNull())
+    return carried.select(
+        *[
+            F.col(f"__l.{c}").alias(c if c in keys else f"{left_prefix}{c}")
+            for c in left.columns
+        ],
+        *[
+            F.col(f"__match.{c}").alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+
+
 def user_tool_join(
     transcripts: DataFrame,
     horizon: timedelta = timedelta(seconds=10),

@@ -329,3 +329,42 @@ def test_session_agg_dynamic_gap(spark):
     assert list(out["n_rows"]) == [3, 1]
     assert out.iloc[0]["session_end"] == T + timedelta(minutes=44)
     assert out.iloc[1]["session_end"] == T + timedelta(minutes=55)
+
+
+def test_as_of_join_union_equals_interval_plan(spark):
+    """The union/last-value-carry as-of strategy is result-identical to
+    the interval-join + rank plan — bounded and unbounded horizons,
+    duplicate left rows, equal-ts ties included."""
+    import pandas as pd
+    from datetime import timedelta as td
+
+    from real_time_sliding_window_spark.operators.joins import (
+        as_of_join,
+        as_of_join_union,
+    )
+
+    T = NOW
+    left = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1", "u1", "u2", "u2"],
+        "pid": [100, 101, 101, 102, 103],     # 101 duplicated on purpose
+        "ts": [T + td(seconds=s) for s in (10, 30, 30, 10, 7)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1", "u1", "u1", "u2"],
+        "cid": [1, 2, 3, 4, 5],
+        "ts": [T + td(seconds=s) for s in (3, 7, 7, 12, 7)],  # tie at 7s
+    }))
+    key = lambda p: sorted(map(tuple, p[sorted(p.columns)].itertuples(index=False)))
+    for horizon in (td(seconds=20), None):
+        a = as_of_join(left, right, keys=["user"], left_ts="ts", right_ts="ts",
+                       horizon=horizon, tiebreakers=["cid"]).toPandas()
+        b = as_of_join_union(left, right, keys=["user"], left_ts="ts",
+                             right_ts="ts", horizon=horizon,
+                             tiebreakers=["cid"]).toPandas()
+        assert sorted(a.columns) == sorted(b.columns)
+        assert key(a) == key(b)
+    # the u2 lid=103 row at ts=7 matches the right row at exactly ts=7
+    # (inclusive as-of) under both plans
+    ub = as_of_join_union(left, right, keys=["user"], left_ts="ts",
+                          right_ts="ts", tiebreakers=["cid"]).toPandas()
+    assert ub.set_index("l_pid").loc[103, "r_cid"] == 5
