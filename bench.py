@@ -37,6 +37,7 @@ BATCH_QUERIES = [
     "window_content_events",
     "interval_join_events",
     "asof_purchase_click",
+    "asof_purchase_click_union",
     "rollup_cascade_events",
     "neardup_clusters_docs",
     "dedup_pipeline_docs",
