@@ -544,11 +544,13 @@ def q_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed production dedup: exact-dedup first (one hash agg), near-dup
-    clustering over canonical texts only, expansion back to all docs.
-    Clusters are provably identical to neardup_clusters on the raw corpus
-    (exact dups have jaccard 1), so the oracle is the same recursive-CTE
-    SQL — the hash match proves the pipeline composition is semantically
-    free while collapsing duplicate mass before the expensive stage."""
+    clustering over canonical texts only (shingle df weighted by duplicate
+    multiplicity = raw-corpus df), expansion back to all docs. Clusters are
+    provably identical to connected components over {raw near-dup pairs} ∪
+    {doc → exact-dup canonical} — the oracle implements exactly that edge
+    set (_PIPELINE_CLUSTERS_SQL). See full_dedup's docstring for the one
+    deliberate divergence from neardup_clusters(raw) in the
+    multiplicity-over-cap regime."""
     return D.full_dedup(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
@@ -759,6 +761,40 @@ _NGRAM_SQL = f"""
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM ({_NGRAM_SQL}) p
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, peer) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+    ),
+    comp AS (SELECT doc AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY doc)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    ) s USING (cluster_id)
+"""
+
+# Oracle twin of dedup.full_dedup: connected components over the raw
+# near-dup pair edges (identical candidate semantics — full_dedup weights
+# canonical shingle df by duplicate multiplicity, which equals raw-corpus
+# df) PLUS an edge from every document to its exact-dup canonical (min
+# doc_id per md5(text)) — exact duplicates always cluster together, even
+# when their multiplicity alone pushes every shingle over max_df.
+_PIPELINE_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_SQL}) p
+        UNION
+        SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+               doc_id AS doc_b
+        FROM documents
+        QUALIFY doc_b <> doc_a
     ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1381,7 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_docs": _minhash_oracle_sql(),
         "ngram_jaccard_docs": _NGRAM_SQL,
         "neardup_clusters_docs": _CLUSTERS_SQL,
-        "dedup_pipeline_docs": _CLUSTERS_SQL,
+        "dedup_pipeline_docs": _PIPELINE_CLUSTERS_SQL,
         "hash_sample_docs": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

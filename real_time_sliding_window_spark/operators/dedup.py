@@ -155,6 +155,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = 128,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via an inverted index.
 
@@ -178,16 +179,27 @@ def ngram_jaccard_pairs(
     The DuckDB oracle implements the identical cap, so parity holds at any
     corpus scale. ``max_df=None`` is the cap-free exact mode (candidate
     join IS the verify join — one shuffle fewer; small corpora only).
+
+    ``weight_col`` (optional, integer column on ``df``): document-frequency
+    counting weights each document by this column instead of 1. Used by
+    :func:`full_dedup`, which runs pair generation over canonical (distinct)
+    texts but must classify shingles rare/hot by their RAW-corpus frequency —
+    each canonical weighs as its exact-duplicate multiplicity. Only the df
+    cap uses the weight; (inter, union, jaccard) are per-pair set measures
+    and unaffected.
     """
+    w8 = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     words = ensure_parallelism(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("__w"),
+            w8.alias("__w8"),
         )
     )
     base = words.select(
         "doc_id",
         F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__sh"),
+        "__w8",
     )
     # materialization barrier: the capped path references the shingle table
     # five ways (sizes, df counts, two candidate sides, two verify sides).
@@ -200,7 +212,7 @@ def ngram_jaccard_pairs(
     # a lazy checkpoint lets the first action's concurrent consumers race
     # the cache and recompute (measured 23.6s cold vs 8.8s warm at sf0.1).
     base = base.localCheckpoint(eager=True)
-    index = base.select("doc_id", F.explode("__sh").alias("shingle"))
+    index = base.select("doc_id", F.explode("__sh").alias("shingle"), "__w8")
     sizes = base.select("doc_id", F.size("__sh").cast("long").alias("sz"))
     if max_df is None:
         inter = (
@@ -227,7 +239,7 @@ def ngram_jaccard_pairs(
         # definition, so each doc's set is a small array and the add-on is
         # two doc-id equi-joins + a per-row expression — no hot-key
         # explosion anywhere in the plan.
-        dfs = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        dfs = index.groupBy("shingle").agg(F.sum("__w8").alias("__df"))
         rare = dfs.filter(F.col("__df") <= max_df).select("shingle")
         hot = dfs.filter(F.col("__df") > max_df).select("shingle")
         ridx = index.join(rare, "shingle")
@@ -375,6 +387,7 @@ def neardup_clusters(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = 128,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster resolution: exact n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id, cluster_size). The
@@ -382,7 +395,9 @@ def neardup_clusters(
     a training pipeline keeps `doc_id == cluster_id` rows. Pair generation
     runs with the df-capped candidate path (see ngram_jaccard_pairs) so the
     flagship dedup query is bounded on stopword-heavy corpora."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_k, min_jaccard, max_df)
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_k, min_jaccard, max_df, weight_col
+    )
     comp = connected_components(
         pairs.select("doc_a", "doc_b"), df.select(id_col), id_col
     )
@@ -401,22 +416,35 @@ def full_dedup(
     """The composed training-data dedup pipeline: exact dedup FIRST, then
     near-dup clustering over canonical texts only, then expansion back to
     every document. Output schema = neardup_clusters (doc_id, cluster_id,
-    cluster_size) and — because exact duplicates have jaccard 1 ≥ any
-    threshold — the clusters are IDENTICAL to running neardup_clusters on
-    the raw corpus (pinned by test + the shared driver oracle).
+    cluster_size).
+
+    Semantics vs the raw path: shingle document frequencies for the max_df
+    cap are computed over the RAW corpus (each canonical text weighs as its
+    exact-duplicate multiplicity — ``weight_col="n_dupes"`` into
+    ngram_jaccard_pairs), so rare/hot classification matches
+    neardup_clusters(raw) exactly. The clusters therefore equal connected
+    components over {raw near-dup pairs} ∪ {doc → its exact-dup canonical}
+    (the driver oracle implements exactly that edge set). The ONE divergence
+    from plain neardup_clusters(raw) is deliberate and strictly better: an
+    exact-dup group whose multiplicity alone pushes every one of its
+    shingles over max_df still clusters together here (exact duplicates are
+    always duplicates), whereas the raw path would shatter it into
+    singletons because the copies share no sub-cap shingle.
 
     Why this shape at 100 TB: web corpora are exact-dup heavy (mirrors,
     reposts); collapsing them with one cheap hash-aggregate BEFORE the
     near-dup stage shrinks the quadratic-ish candidate generation by the
-    duplication factor, and shingle document frequencies are computed over
-    distinct texts — so corpus-wide boilerplate df is not inflated by
-    mirror counts (the more faithful df for the max_df cap).
+    duplication factor while the df weighting keeps boilerplate detection
+    faithful to the corpus the user actually has.
     """
     groups = exact_dedup(df, id_col, text_col).localCheckpoint(eager=True)
-    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
-    canon_docs = df.join(canon_ids, id_col)
+    canon_w = groups.select(
+        F.col("canonical_id").alias(id_col), F.col("n_dupes")
+    )
+    canon_docs = df.join(canon_w, id_col)
     canon_clusters = neardup_clusters(
-        canon_docs, id_col, text_col, shingle_k, min_jaccard, max_df
+        canon_docs, id_col, text_col, shingle_k, min_jaccard, max_df,
+        weight_col="n_dupes",
     ).select(F.col(id_col).alias("canonical_id"), "cluster_id")
     # expand: every doc inherits its canonical's cluster; cluster_size
     # counts ALL member docs (exact dups included). cluster_id stays the

@@ -2,8 +2,9 @@
 
 Two places ship more than one implementation of one semantic contract:
 
-- `full_dedup` (exact-first pipeline) vs `neardup_clusters` (raw corpus) —
-  equal because exact duplicates have jaccard 1;
+- `full_dedup` (exact-first pipeline, df weighted by dup multiplicity) vs
+  connected components over {raw ngram pairs} ∪ {doc → exact-dup canonical}
+  (a Python union-find reference here; the driver oracle is the SQL twin);
 - `as_of_join_union` (union + last-value carry) vs `as_of_join`
   (interval + rank) — equal by construction of the ordering rules.
 
@@ -39,22 +40,60 @@ doc_strategy = st.lists(
 )
 
 
+def _uf_clusters(ids, edges):
+    """Min-label union-find reference: component root is the min id
+    (union always parents the larger root under the smaller)."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    roots = {i: find(i) for i in ids}
+    from collections import Counter
+
+    sizes = Counter(roots.values())
+    return sorted((i, roots[i], sizes[roots[i]]) for i in ids)
+
+
 @settings(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=doc_strategy)
-def test_full_dedup_equals_raw_clusters_random(spark, texts):
+def test_full_dedup_contract_random(spark, texts):
+    """full_dedup == CC over {raw ngram pairs} ∪ {doc → exact canonical}.
+
+    max_df=3 is deliberately tiny so random corpora regularly push shingles
+    over the cap — exercising exactly the dup/boilerplate-heavy regime where
+    full_dedup's semantics diverge from plain neardup_clusters(raw) (exact
+    dups always cluster; pairs gated on the RAW-corpus df via weighting)."""
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     docs = spark.createDataFrame(pdf)
-    key = lambda p: sorted(
-        map(tuple, p[["doc_id", "cluster_id", "cluster_size"]]
+    piped = dedup.full_dedup(docs, min_jaccard=0.3, max_df=3).toPandas()
+    raw_pairs = dedup.ngram_jaccard_pairs(
+        docs, min_jaccard=0.3, max_df=3
+    ).toPandas()
+    edges = list(zip(raw_pairs.doc_a.astype(int), raw_pairs.doc_b.astype(int)))
+    canon = pdf.groupby("text")["doc_id"].transform("min")
+    edges += [
+        (int(c), int(d)) for c, d in zip(canon, pdf.doc_id) if c != d
+    ]
+    expect = _uf_clusters(list(range(len(texts))), edges)
+    got = sorted(
+        map(tuple, piped[["doc_id", "cluster_id", "cluster_size"]]
             .itertuples(index=False))
     )
-    raw = dedup.neardup_clusters(docs, min_jaccard=0.3, max_df=64).toPandas()
-    piped = dedup.full_dedup(docs, min_jaccard=0.3, max_df=64).toPandas()
-    assert key(raw) == key(piped)
+    assert got == expect
 
 
 event_strategy = st.lists(

@@ -133,10 +133,13 @@ class TestDedup:
         assert len(out) == 8
 
     def test_full_dedup_equals_raw_clusters(self, docs, spark):
-        """The composed pipeline (exact dedup -> near-dup on canonicals ->
-        expand) must produce byte-identical clusters to neardup_clusters on
-        the raw corpus — exact dups have jaccard 1, so collapsing them first
-        is semantically free."""
+        """Below the df cap the composed pipeline (exact dedup -> near-dup
+        on canonicals -> expand) produces byte-identical clusters to
+        neardup_clusters on the raw corpus — exact dups have jaccard 1 and
+        the multiplicity-weighted df equals the raw df, so collapsing them
+        first is semantically free. (Above the cap full_dedup keeps exact
+        dups together where the raw path shatters them — see the
+        multiplicity test below and test_equivalence.py.)"""
         key = lambda pdf: sorted(
             map(tuple, pdf[["doc_id", "cluster_id", "cluster_size"]]
                 .itertuples(index=False))
@@ -144,6 +147,42 @@ class TestDedup:
         raw = dedup.neardup_clusters(docs, min_jaccard=0.2).toPandas()
         piped = dedup.full_dedup(docs, min_jaccard=0.2).toPandas()
         assert key(raw) == key(piped)
+
+    def test_full_dedup_multiplicity_over_cap(self, spark):
+        """ADVICE r02 (medium): when a text is exactly duplicated more times
+        than max_df, every one of its shingles is hot in the RAW corpus.
+        full_dedup must (a) classify them hot too — df weighted by duplicate
+        multiplicity, so a near-dup neighbor sharing only those shingles
+        does NOT pair — and (b) still cluster the exact copies together."""
+        import pandas as pd
+
+        mirror = "alpha beta gamma delta echo fox golf hotel"
+        # 5 exact copies (> max_df=4) + one near-dup neighbor + one unrelated
+        texts = [mirror] * 5 + [mirror + " india", "zulu yankee xray whiskey victor uniform tango sierra"]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        out = (
+            dedup.full_dedup(docs, min_jaccard=0.2, max_df=4)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        # copies 0-4 cluster together under min id 0, size 5
+        for d in range(5):
+            assert out.loc[d, "cluster_id"] == 0
+            assert out.loc[d, "cluster_size"] == 5
+        # the near-dup neighbor shares ONLY over-cap shingles -> no pair
+        assert out.loc[5, "cluster_id"] == 5
+        assert out.loc[5, "cluster_size"] == 1
+        assert out.loc[6, "cluster_id"] == 6
+        # and the raw path would have shattered the mirror group: no rare
+        # shingles anywhere in it
+        raw = (
+            dedup.neardup_clusters(docs, min_jaccard=0.2, max_df=4)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert all(raw.loc[d, "cluster_size"] == 1 for d in range(5))
 
     def test_connected_components_chain(self, spark):
         """A chain a-b, b-c, c-d collapses to one component via propagation
