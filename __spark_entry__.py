@@ -1474,7 +1474,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             n AS (
                 SELECT doc_id, w,
-                    greatest(CAST(ceil((len(w) - 32) / 16.0) AS INTEGER) + 1, 1)
+                    greatest(least(
+                        CAST(ceil((len(w) - 32) / 16.0) AS INTEGER) + 1,
+                        CAST(floor((len(w) - 1) / 16.0) AS INTEGER) + 1), 1)
                         AS nc
                 FROM w
             ),

@@ -39,7 +39,10 @@ def chunk_documents(
     chunk i covers words [i*stride + 1, i*stride + chunk_tokens]
     (1-based, inclusive slicing — identical on both engines); the number
     of chunks is ceil((n - chunk_tokens) / stride) + 1, floored at 1 so
-    every document yields at least one (possibly short) chunk.
+    every document yields at least one (possibly short) chunk, and capped
+    at floor((n - 1) / stride) + 1 so every chunk starts inside the word
+    array — without the cap a gap-chunking call (stride > chunk_tokens)
+    would emit a phantom empty chunk past the end (ADVICE r02).
     """
     stride = stride or chunk_tokens
     words = ensure_parallelism(
@@ -49,7 +52,9 @@ def chunk_documents(
         )
     )
     n_chunks = F.expr(
-        f"greatest(cast(ceil((size(__w) - {chunk_tokens}) / {stride}) as int) + 1, 1)"
+        f"greatest(least("
+        f"cast(ceil((size(__w) - {chunk_tokens}) / {stride}) as int) + 1, "
+        f"cast(floor((size(__w) - 1) / {stride}) as int) + 1), 1)"
     )
     chunks = F.expr(
         f"transform(sequence(0, __nc - 1), "

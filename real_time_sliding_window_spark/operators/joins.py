@@ -85,8 +85,27 @@ def as_of_join(
     # Surrogate row id on the left BEFORE the join: the rank-1 window must
     # partition by left ROW identity, not by left column values — two
     # identical left rows (legal input) each keep their own match, and the
-    # partitioning never depends on column-name conventions.
-    tagged = left.withColumn("__lid", F.monotonically_increasing_id())
+    # partitioning never depends on column-name conventions. The id must
+    # also be DETERMINISTIC under stage retry (ADVICE r02):
+    # monotonically_increasing_id depends on partition-internal row order,
+    # so a recomputed lineage after executor loss could renumber rows and
+    # the __lid window would drop/duplicate matches. Instead: xxhash64 of
+    # every left column + a per-duplicate row_number within the hash. Byte-
+    # identical rows are interchangeable, so rn swaps among them cannot
+    # change the output; distinct rows only share an id on a 2^-64 hash
+    # collision. Costs one extra exchange on the left — the union strategy
+    # (as_of_join_union) avoids it and is the preferred shape at scale.
+    from pyspark.sql.window import Window as _W
+
+    tagged = left.withColumn(
+        "__lh", F.xxhash64(*[F.col(c) for c in left.columns])
+    ).withColumn(
+        "__lid",
+        F.struct(
+            F.col("__lh"),
+            F.row_number().over(_W.partitionBy("__lh").orderBy("__lh")),
+        ),
+    ).drop("__lh")
     lcols = [
         F.col(f"l.{c}").alias(c if c in keys else f"{left_prefix}{c}")
         for c in left.columns

@@ -166,7 +166,23 @@ class RingBufferProcessor(StatefulProcessor):
             want_ms = max(expire_ms, wm + 1)
         try:
             existing = [int(t) for t in self.handle.listTimers()]
-        except Exception:
+        except (NotImplementedError, AttributeError):
+            # Known runner gap: listTimers unimplemented in some TWS
+            # runtimes. Warn ONCE — silently proceeding with existing=[]
+            # reverts to the timer-leak behavior this method exists to fix
+            # (stale timers never deleted, wanted timer re-registered every
+            # batch), and that regression must be visible (ADVICE r02).
+            if not getattr(type(self), "_warned_no_list_timers", False):
+                import warnings
+
+                warnings.warn(
+                    "listTimers() unavailable in this TWS runtime: stale "
+                    "expiry timers cannot be deleted and WILL accumulate "
+                    "per key; expect spurious handleExpiredTimer calls.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                type(self)._warned_no_list_timers = True
             existing = []
         for t in existing:
             if t != want_ms:

@@ -92,13 +92,24 @@ def enriched_stream(
     dim: DataFrame,
     keys: Sequence[str],
     how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against
-    the (re-evaluated per batch, broadcast when small) static DataFrame —
-    no state, no watermark needed; the streaming side never shuffles for
-    the join when the dim broadcasts. The standard pattern for decorating
-    turns with slowly-changing metadata (tool registry, user segments)."""
-    return stream.join(F.broadcast(dim), on=list(keys), how=how)
+    the (re-evaluated per batch) static DataFrame — no state, no watermark
+    needed; the streaming side never shuffles for the join when the dim
+    broadcasts. The standard pattern for decorating turns with
+    slowly-changing metadata (tool registry, user segments).
+
+    ``broadcast``: True forces the broadcast hint (caller asserts the dim
+    fits in executor memory); False forbids it; None (default) lets
+    AQE/autoBroadcastJoinThreshold decide from the dim's actual size — the
+    safe default, since force-broadcasting a large dim every micro-batch
+    is a driver/executor OOM at scale (ADVICE r02)."""
+    if broadcast is True:
+        dim = F.broadcast(dim)
+    elif broadcast is False:
+        dim = dim.hint("shuffle_hash")
+    return stream.join(dim, on=list(keys), how=how)
 
 
 def user_tool_stream_join(

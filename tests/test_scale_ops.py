@@ -509,6 +509,25 @@ class TestChunking:
         assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "tiny doc"
         assert d1.iloc[0]["n_tokens"] == 2
 
+    def test_chunk_gap_stride_no_phantom_chunk(self, spark):
+        """Gap chunking (stride > chunk_tokens) must not emit an empty chunk
+        starting past the end of the word array: 7 words, chunk=1, stride=5
+        is exactly 2 chunks (starts 0 and 5), not 3 (ADVICE r02)."""
+        from real_time_sliding_window_spark.operators.chunking import chunk_documents
+
+        pdf = pd.DataFrame({
+            "doc_id": [0],
+            "text": [" ".join(f"w{i}" for i in range(7))],
+        })
+        out = (
+            chunk_documents(spark.createDataFrame(pdf), chunk_tokens=1, stride=5)
+            .toPandas()
+            .sort_values("chunk_idx")
+        )
+        assert list(out["chunk_text"]) == ["w0", "w5"]
+        assert (out["chunk_text"] != "").all()
+        assert list(out["n_tokens"]) == [1, 1]
+
     def test_pack_documents_budget(self, spark):
         """Sequential packing: bins respect the cumulative-token boundary
         and the assignment is deterministic in doc_id order."""
