@@ -677,6 +677,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_ids=range(20), k=3, n_planes=8, multiprobe=True)
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF top-3 (VERDICT r02 #1): integer k-means coarse
+    quantizer (k=8 centroids, 4 Lloyd's rounds, content-addressed seeds),
+    2-probe search with 2-way corpus spill. Every k-means step is exact
+    int64, so the DuckDB oracle replays the ENTIRE training iteration as a
+    recursive CTE and the value-hash gate pins quantizer + spill assignment
+    + probe + search end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_kmeans_topk(
+        emb, query_ids=range(20), k=3, n_centroids=8, n_iter=4, n_probe=2,
+        spill=2,
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the IVF multi-probe path against the exact cosine
     baseline, per query — the ANN shippability metric (VERDICT r01 #4)."""
@@ -993,6 +1007,98 @@ _EXACT_ANN_SQL = """
 """
 
 
+# DuckDB twin of similarity.ivf_kmeans_topk — replays the ENTIRE integer
+# k-means training as a recursive CTE (possible because every step is exact
+# int64: quantized vectors, squared-L2 argmin with ties to the lowest cid,
+# per-dim floor(sum/count) updates, md5-ordered seeding), then mirrors the
+# corpus assignment, n_probe query fan-out, and top-k search. iter count is
+# FIXED (Spark's early fixpoint exit is identity-equivalent).
+_KM_K, _KM_ITERS, _KM_NPROBE, _KM_TOPK, _KM_SPILL = 8, 4, 2, 3, 2
+_KMEANS_IVF_SQL = f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+            list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INTEGER) AS cid, qv
+        FROM q
+        QUALIFY row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
+    ),
+    km(iter, cid, cvec) AS (
+        SELECT 0, cid, qv FROM seeds
+        UNION ALL
+        SELECT iter + 1, km.cid,
+            CASE WHEN upd.cvec_new IS NULL THEN km.cvec ELSE upd.cvec_new END
+        FROM km
+        LEFT JOIN (
+            SELECT cid, list(dimmean ORDER BY pos) AS cvec_new
+            FROM (
+                SELECT a.cid, u.pos,
+                       CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*))
+                            AS BIGINT) AS dimmean
+                FROM (
+                    SELECT v.vec_id, v.qv,
+                           min_by(c.cid,
+                               list_sum(list_transform(list_zip(v.qv, c.cvec),
+                                   p -> (p[1]-p[2])*(p[1]-p[2])))
+                               * {_KM_K} + c.cid) AS cid
+                    FROM q v, km c
+                    GROUP BY v.vec_id, v.qv
+                ) a,
+                LATERAL (SELECT unnest(a.qv) AS val,
+                                generate_subscripts(a.qv, 1) AS pos) u
+                GROUP BY a.cid, u.pos
+            )
+            GROUP BY cid
+        ) upd ON upd.cid = km.cid
+        WHERE km.iter < {_KM_ITERS}
+    ),
+    cent AS (SELECT cid, cvec FROM km WHERE iter = {_KM_ITERS}),
+    assigned AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(v.qv, c.cvec),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+            FROM q v, cent c
+        ) WHERE rn <= {_KM_SPILL}
+    ),
+    probes AS (
+        SELECT query_id, q_qv, cid FROM (
+            SELECT v.vec_id AS query_id, v.qv AS q_qv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(v.qv, c.cvec),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+            FROM q v, cent c
+            WHERE v.vec_id < 20
+        ) WHERE rn <= {_KM_NPROBE}
+    ),
+    pairs AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(list_zip(p.q_qv, a.qv),
+                                         z -> z[1] * z[2])) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(p.q_qv, v -> v*v)) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(a.qv, v -> v*v)) AS DOUBLE)))
+            AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    WHERE rank <= {_KM_TOPK}
+"""
+
+
 _ASOF_SQL = """
             WITH cand AS (
                 SELECT p.user_id,
@@ -1075,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_recall": q_ann_recall,
         "langid_docs": q_langid_docs,
         "curated_corpus": q_curated_corpus,
@@ -1601,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         """,
         "ann_ivf_topk": _ivf_sql(n_planes=8, k=3),
+        "ann_ivf_kmeans_topk": _KMEANS_IVF_SQL,
         "ann_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id FROM ({_EXACT_ANN_SQL}) e

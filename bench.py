@@ -50,6 +50,7 @@ BATCH_QUERIES = [
     "simhash_neardup_docs",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "ann_recall",
     "role_counts_events",
     "quality_docs",

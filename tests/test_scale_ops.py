@@ -323,6 +323,89 @@ class TestSimilarity:
         assert multi >= single
         assert multi >= 0.6  # measured ~0.8+ in this regime (BENCH/ANN.md)
 
+    @staticmethod
+    def _clustered_corpus(spark, n=240, dim=16, n_clusters=6, noise=0.25):
+        """Deterministic well-separated mixture: every vector's true
+        neighbors share its cluster."""
+        rng = np.random.default_rng(42)
+        centers = rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        lab = np.arange(n) % n_clusters
+        g = rng.standard_normal((n, dim))
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        vecs = centers[lab] + noise * g
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        return spark.createDataFrame(pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }))
+
+    def test_kmeans_deterministic_across_partitionings(self, spark):
+        """The integer k-means quantizer must give the SAME centroids
+        regardless of input partitioning — summation is exact int64, so
+        no float order-dependence (the property the oracle's recursive-CTE
+        replay relies on)."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        a = similarity.kmeans_centroids(emb, n_centroids=6, n_iter=3)
+        b = similarity.kmeans_centroids(
+            emb.repartition(13), n_centroids=6, n_iter=3
+        )
+        assert a == b
+
+    def test_kmeans_requires_convergence_raises(self, spark):
+        """require_convergence must FAIL loudly when no fixpoint was
+        reached — a half-trained quantizer silently degrades recall."""
+        import pytest
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            similarity.kmeans_centroids(
+                emb, n_centroids=6, n_iter=0, require_convergence=True
+            )
+
+    def test_ivf_kmeans_exact_on_separated_clusters(self, spark):
+        """On a well-separated mixture, learned cells align with the true
+        clusters: 1-probe IVF recovers ≥ 0.9 of the exact top-k, and a
+        second probe covers the local-optimum case where k-means split one
+        true cluster across two cells — then the result is byte-identical
+        to brute force. (The regime where sign-sketch LSH already loses
+        half its recall — BENCH/ANN.md round 3.)"""
+        emb = self._clustered_corpus(spark)
+        cents = similarity.kmeans_centroids(emb, n_centroids=6, n_iter=6)
+        exact = similarity.cosine_topk(emb, range(12), k=5).toPandas()
+        key = lambda p: sorted(
+            map(tuple, p[["query_id", "neighbor_id", "rank"]]
+                .itertuples(index=False))
+        )
+        one = similarity.ivf_kmeans_topk(
+            emb, range(12), k=5, centroids=cents, n_probe=1
+        ).toPandas()
+        e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+        a = set(map(tuple, one[["query_id", "neighbor_id"]].values))
+        assert len(e & a) / len(e) >= 0.9
+        two = similarity.ivf_kmeans_topk(
+            emb, range(12), k=5, centroids=cents, n_probe=2
+        ).toPandas()
+        assert key(exact) == key(two)
+
+    def test_ivf_kmeans_spill_no_duplicates_and_helps(self, spark):
+        """spill > 1 must not emit duplicate (query, neighbor) rows, and
+        recall at equal probes must not drop (boundary recovery)."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iter=4)
+
+        def hits(spill):
+            exact = similarity.cosine_topk(emb, range(10), k=5).toPandas()
+            appr = similarity.ivf_kmeans_topk(
+                emb, range(10), k=5, centroids=cents, n_probe=2, spill=spill
+            ).toPandas()
+            assert not appr.duplicated(["query_id", "neighbor_id"]).any()
+            e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+            a = set(map(tuple, appr[["query_id", "neighbor_id"]].values))
+            return len(e & a)
+
+        assert hits(2) >= hits(1)
+
 
 class TestText:
     def test_language_id(self, docs):
