@@ -323,13 +323,37 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holistic aggregates: exact interpolated p50/p95 of value-cents per
     event_type (Spark `percentile` == DuckDB `quantile_cont`, both linear
     interpolation over the sorted set — cross-engine exact on integer
-    inputs). Scale note: exact percentiles sort per group; at 100 TB use
-    approx_percentile (t-digest) unless the group fits an executor."""
+    inputs). Scale note: exact percentiles buffer whole groups in executor
+    memory — this query exists as an oracle pin; the 100 TB path is
+    value_percentiles_approx (mergeable GK sketch, BENCH/PERCENTILES.md)."""
     ev = _events(spark, sf_dir).withColumn("cents", _cents())
     return ev.groupBy("event_type").agg(
         F.expr("percentile(cents, 0.5)").alias("p50_cents"),
         F.expr("percentile(cents, 0.95)").alias("p95_cents"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile SCALE twin (VERDICT r02 #2): the production
+    operator is approx_group_percentiles — a mergeable Greenwald-Khanna
+    sketch with O(accuracy·log n) memory that flows through map-side
+    partial aggregation, vs exact `percentile` which buffers EVERY group
+    value in one executor (the round-2 scale-killer). Gate semantics: in
+    the sketch's exact regime (group n ≤ accuracy — true at sf0.01 AND
+    sf0.1 with accuracy=50000) GK returns precisely the discrete order
+    statistic DuckDB's `quantile_disc` defines, so the twin is VALUE-HASH
+    gated end to end — convention, plumbing, and merge path all pinned.
+    The genuinely-approximate regime (n > accuracy) is measured in
+    BENCH/PERCENTILES.md (rank error ≤ n/accuracy by GK's guarantee)."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return W.approx_group_percentiles(
+        ev, "cents", ["event_type"], (0.5, 0.95), accuracy=50000
+    ).select(
+        "event_type",
+        F.col("p_0_5").cast("long").alias("p50_cents_disc"),
+        F.col("p_0_95").cast("long").alias("p95_cents_disc"),
+        "n_rows",
     )
 
 
@@ -1153,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_window_events": q_salted_window_events,
         "role_counts_events": q_role_counts_events,
         "value_percentiles": q_value_percentiles,
+        "value_percentiles_approx": q_value_percentiles_approx,
         "events_type_pivot": q_events_type_pivot,
         "cube_events": q_cube_events,
         "user_running_value": q_user_running_value,
@@ -1426,6 +1451,16 @@ def oracle_sql() -> dict[str, str]:
                        AS p50_cents,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
                        AS p95_cents,
+                   count(*) AS n_rows
+            FROM events
+            GROUP BY 1
+        """,
+        "value_percentiles_approx": """
+            SELECT event_type,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+                       AS p50_cents_disc,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95)
+                       AS p95_cents_disc,
                    count(*) AS n_rows
             FROM events
             GROUP BY 1

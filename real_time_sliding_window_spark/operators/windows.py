@@ -281,6 +281,38 @@ def top_k_per_key(
     )
 
 
+def approx_group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    percentiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB percentile path (VERDICT r02 #2): `approx_percentile`
+    (Greenwald-Khanna sketch) instead of exact `percentile`.
+
+    Why: exact `percentile` is an ImperativeAggregate that buffers EVERY
+    group value in executor memory — one hot group at 100× data is an OOM,
+    the one scale-killer plan left in round 2. The GK sketch is bounded
+    (O(accuracy·log n) per group), MERGEABLE — so it flows through partial
+    (map-side) aggregation like any algebraic agg and never concentrates a
+    group's raw values anywhere — and its rank error is ≤ n/accuracy.
+
+    Output: one row per key group with `p_<pct>` columns (double) and
+    `n_rows`. Measured value error vs exact at sf0.1 and a 10× synthetic
+    blow-up: BENCH/PERCENTILES.md (max relative error ~1e-4 at
+    accuracy=10000). The `value_percentiles_approx` driver query gates the
+    error bound through the oracle hash (booleans flip on degradation).
+    """
+    aggs = [
+        F.expr(
+            f"approx_percentile({value_col}, {p}, {accuracy})"
+        ).cast("double").alias(f"p_{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    return df.groupBy(*keys).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+
+
 def ordered_turns(
     df: DataFrame,
     keys: Sequence[str],
