@@ -53,6 +53,7 @@ BATCH_QUERIES = [
     "ann_ivf_kmeans_topk",
     "ann_recall",
     "role_counts_events",
+    "value_percentiles_approx",
     "quality_docs",
     "decontaminate_docs",
     "chunk_docs",
@@ -285,6 +286,29 @@ def main() -> None:
     # keep the artifact clean: no console progress bar, no executor-side
     # pandas FutureWarnings interleaving with the one JSON output line
     os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
+    # Machine-clean artifact BY CONSTRUCTION (VERDICT r01 #8 / r02 #1):
+    # the gateway JVM normally inherits this process's stdout/stderr, so
+    # late JVM teardown noise (log4j shutdown, reaper stack traces) can
+    # land around the JSON line no matter how carefully we order the
+    # print. Pre-launch the gateway with its console redirected to a log
+    # file — the JVM physically cannot write to our stdout. driver.memory
+    # must be passed HERE (it only applies at JVM launch).
+    from pyspark import SparkConf
+    from pyspark.context import SparkContext
+    from pyspark.java_gateway import launch_gateway
+
+    jvm_log = open(
+        os.path.join(tempfile.gettempdir(), "rtsw_bench_jvm.log"), "w"
+    )
+    gw_conf = SparkConf()
+    gw_conf.set("spark.driver.memory", os.environ.get("RTSW_DRIVER_MEM", "8g"))
+    gateway = launch_gateway(
+        conf=gw_conf, popen_kwargs={"stdout": jvm_log, "stderr": jvm_log}
+    )
+    SparkContext._gateway = gateway
+    SparkContext._jvm = gateway.jvm
+
     spark = get_spark(
         app_name="rtsw-bench",
         master=f"local[{cpus}]",
