@@ -167,8 +167,9 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate inside a window: exact count(DISTINCT user_id)
-    per day+type (batch path; the streaming twin is approx_count_distinct —
-    see tools/scaling_bench.py's featurize job)."""
+    per day+type. EXACT streaming twin:
+    streaming/pipeline.py::distinct_per_window_stream (dedup-then-count,
+    both states watermark-bounded; pytest TestStreamingTwins)."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -360,7 +361,10 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-day event counts spread into one column per event_type
     (Catalyst lowers .pivot to a single pass of conditional aggregates —
-    no join, no extra shuffle beyond the groupBy)."""
+    no join, no extra shuffle beyond the groupBy). Streaming twin:
+    streaming/pipeline.py::pivoted_stream (the lowered conditional-agg
+    form written out — .pivot() is rejected on streams; pytest
+    TestStreamingTwins)."""
     ev = _events(spark, sf_dir)
     out = (
         ev.groupBy(F.window("ts", "1 day").alias("w"))

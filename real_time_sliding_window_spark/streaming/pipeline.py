@@ -87,6 +87,92 @@ def deduped_stream(
     return wm.dropDuplicatesWithinWatermark(list(keys))
 
 
+_INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse 'N second(s)/minute(s)/hour(s)/day(s)' to whole seconds."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*", interval)
+    if not m:
+        raise ValueError(
+            f"unsupported interval {interval!r}: use 'N second|minute|hour|day'"
+        )
+    return int(m.group(1)) * _INTERVAL_UNIT_S[m.group(2)]
+
+
+def pivoted_stream(
+    stream: DataFrame,
+    type_col: str,
+    types: Sequence[str],
+    ts_col: str = "ts",
+    window_length: str = "1 day",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of the batch pivot query (VERDICT r02 #10).
+
+    ``.pivot()`` is rejected on streaming DataFrames, but Catalyst lowers a
+    batch pivot to conditional aggregates anyway — so the streaming twin IS
+    that lowered form, written out: one ``count(CASE WHEN type = t)`` per
+    pivot value, single pass, map-side partials, append-mode emit when the
+    watermark closes the window. Column contract matches
+    ``q_events_type_pivot`` (window_start, n_<type>...).
+    """
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    aggs = [
+        F.count(F.when(F.col(type_col) == t, 1)).alias(f"n_{t}")
+        for t in types
+    ]
+    out = wm.groupBy(F.window(ts_col, window_length).alias("w")).agg(*aggs)
+    return out.select(F.col("w.start").alias("window_start"), *[
+        F.col(f"n_{t}") for t in types
+    ])
+
+
+def distinct_per_window_stream(
+    stream: DataFrame,
+    distinct_col: str,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    window_length: str = "1 day",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of exact count(DISTINCT x) per window (VERDICT r02
+    #10) — streaming aggs reject count_distinct, so stage it: assign the
+    window bucket, ``dropDuplicatesWithinWatermark`` on (bucket, keys, x)
+    — dedup state is bounded by the watermark horizon, and the surviving
+    row count per (bucket, keys) IS the distinct count — then a plain
+    streaming windowed count over the survivors. Exact (not
+    approx_count_distinct), two bounded-state stateful operators back to
+    back. Column contract matches ``q_distinct_users_per_day``
+    (window_start, *keys, n_users).
+
+    The dedup bucket is PLAIN integer arithmetic (epoch-aligned, exactly
+    ``F.window``'s tumbling assignment), not the window struct: the struct
+    carries the event-time marker, and an event-time column inside the
+    dedup key defeats the duplicate comparison (measured: in-batch dups
+    survive) besides colliding with ``ts`` as a second event-time column.
+    """
+    secs = _interval_seconds(window_length)
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    bucketed = wm.withColumn(
+        "__b", (F.floor(F.unix_timestamp(ts_col) / secs) * secs).cast("long")
+    )
+    deduped = bucketed.dropDuplicatesWithinWatermark(
+        ["__b", *keys, distinct_col]
+    )
+    out = deduped.groupBy(
+        F.window(ts_col, window_length).alias("__w"),
+        *[F.col(k) for k in keys],
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        *[F.col(k) for k in keys],
+        "n_users",
+    )
+
+
 def enriched_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -52,16 +52,17 @@ def rows(*specs) -> pd.DataFrame:
     return pdf
 
 
-def drive(spark, tmp_path, result_fn, pushes, name):
+def drive(spark, tmp_path, result_fn, pushes, name, schema=None):
     """Build feed, push files one at a time, run availableNow per push,
-    return (sink, per-run committed row snapshots)."""
+    return (sink, per-run committed row snapshots). ``schema``: feed rows
+    of a non-transcript shape (e.g. events)."""
     feed = FileFeed(spark, str(tmp_path / f"{name}_in"))
     sink = ExactlyOnceParquetSink(str(tmp_path / f"{name}_out"))
     ckpt = str(tmp_path / f"{name}_ckpt")
     snapshots = []
     for push in pushes:
-        feed.push(push)
-        result = result_fn(feed.stream())
+        feed.push(spark.createDataFrame(push, schema=schema) if schema else push)
+        result = result_fn(feed.stream(schema) if schema else feed.stream())
         run_to_sink(result, sink, ckpt, query_name=name)
         try:
             snapshots.append(sink.read_committed(spark).toPandas())
@@ -687,6 +688,92 @@ class TestLiveViewCompactionLease:
         LiveWindowView(view.root)  # re-init runs the GC
         assert not os.path.exists(stale)
         assert os.path.exists(fresh)
+
+
+EVENT_SCHEMA = "user_id string, event_type string, ts timestamp"
+
+
+def event_rows(*specs) -> pd.DataFrame:
+    """specs: (user_id, event_type, sec_offset)"""
+    return pd.DataFrame(
+        [
+            {"user_id": u, "event_type": t, "ts": T0 + off * SEC}
+            for (u, t, off) in specs
+        ]
+    )
+
+
+class TestStreamingTwins:
+    """VERDICT r02 #10: batch-only queries events_type_pivot and
+    distinct_users_per_day get streaming twins over the same column
+    contract — same drive pattern as the role-gauge twin."""
+
+    def test_pivoted_stream_matches_batch_pivot(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.pipeline import pivoted_stream
+
+        types = ["click", "view", "purchase"]
+
+        def pipe(stream):
+            return pivoted_stream(
+                stream, "event_type", types,
+                window_length="2 seconds", watermark_delay="1 second",
+            )
+
+        batch1 = event_rows(
+            ("u1", "click", 0), ("u2", "view", 0), ("u1", "click", 1),
+            ("u3", "purchase", 2), ("u1", "view", 3),
+        )
+        closer = event_rows(("u9", "click", 30))
+        sink, snaps = drive(spark, tmp_path, pipe, [batch1, closer], "pivtwin",
+                            schema=EVENT_SCHEMA)
+        final = snaps[-1].sort_values("window_start").reset_index(drop=True)
+        # batch reference: the same conditional aggregate over the same rows
+        ref = (
+            spark.createDataFrame(pd.concat([batch1, closer]))
+            .groupBy(F.window("ts", "2 seconds").alias("w"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .select(
+                F.col("w.start").alias("window_start"),
+                *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+            )
+            .toPandas()
+        )
+        # streaming emits only watermark-closed windows — restrict batch ref
+        ref = (
+            ref[ref.window_start.isin(set(final.window_start))]
+            .sort_values("window_start").reset_index(drop=True)
+        )
+        assert len(final) == 2  # both 2s windows of batch1 closed
+        for t in types:
+            assert list(final[f"n_{t}"]) == list(ref[f"n_{t}"])
+
+    def test_distinct_stream_is_exact_and_dedups_redelivery(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.pipeline import (
+            distinct_per_window_stream,
+        )
+
+        def pipe(stream):
+            return distinct_per_window_stream(
+                stream, "user_id", keys=["event_type"],
+                window_length="2 seconds", watermark_delay="5 seconds",
+            )
+
+        batch1 = event_rows(
+            ("u1", "click", 0), ("u1", "click", 1),   # same user twice
+            ("u2", "click", 0), ("u1", "view", 1),
+        )
+        batch2 = event_rows(("u1", "click", 1))       # redelivered duplicate
+        closer = event_rows(("u9", "click", 30))
+        _, snaps = drive(
+            spark, tmp_path, pipe, [batch1, batch2, closer], "disttwin",
+            schema=EVENT_SCHEMA,
+        )
+        final = snaps[-1]
+        w0 = final[final.window_start == T0]
+        got = dict(zip(w0.event_type, w0.n_users))
+        # u1 counted ONCE per (window, type) despite 3 click arrivals
+        assert got == {"click": 2, "view": 1}
 
 
 class TestLiveViewIdempotence:
