@@ -253,6 +253,80 @@ def ring_buffer_stream(
     )
 
 
+def sharded_ring_buffer_stream(
+    transcripts: DataFrame,
+    watermark_delay: timedelta,
+    max_duration: timedelta | None = None,
+    max_data: int | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Hot-conversation mitigation (VERDICT r02 #7): sub-key salting with
+    per-shard ring buffers.
+
+    ``ring_buffer_stream`` routes ALL turns of one conv_id through one
+    state task per micro-batch — correct, but a single 10^6-turn
+    conversation caps at single-task throughput (measured ceiling in
+    BENCH/SKEW.md). This variant shards the group key to
+    (conv_id, hash(turn_idx) % n_shards), so a hot conversation spreads
+    over n_shards parallel state tasks.
+
+    Semantics vs the unsharded operator, stated precisely:
+
+    - **dedup (DUP rows): EXACT** — a given (conv_id, turn_idx) always
+      hashes to the same shard, so redeliveries meet their original.
+    - **age eviction (maxDuration): EXACT** — the cutoff is
+      watermark − max_duration, identical in every shard; the union of
+      shard buffers equals the unsharded buffer.
+    - **capacity eviction (maxData): APPROXIMATE** — the global
+      oldest-first ring becomes shard-local oldest-first with per-shard
+      capacity ceil(max_data / n_shards). Because turn_idx hashing sends a
+      near-uniform sample of the stream to each shard, shard-local oldest
+      ≈ global oldest; total buffered rows are ≤ n_shards·ceil(max_data /
+      n_shards) (≤ max_data + n_shards − 1). Exact capacity semantics
+      require the unsharded operator.
+    - ``buffer_size`` reports the SHARD's buffer size, not the
+      conversation's; ``shard`` is exposed so callers can sum.
+
+    Use when one conversation's turn rate exceeds one core's state
+    throughput; otherwise prefer ``ring_buffer_stream``.
+    """
+    from real_time_sliding_window_spark.config import interval_str
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    per_shard_cap = (
+        -(-max_data // n_shards) if max_data is not None else None
+    )
+    wm = transcripts.withWatermark("ts", interval_str(watermark_delay))
+    sharded = wm.withColumn(
+        "shard", F.pmod(F.xxhash64("turn_idx"), F.lit(n_shards)).cast("int")
+    )
+    fn = make_ring_buffer_fn(max_duration, per_shard_cap)
+    out_fields = [StructField("shard", IntegerType())] + list(OUTPUT_SCHEMA)
+    return sharded.groupBy("conv_id", "shard").applyInPandasWithState(
+        _with_shard_key(fn),
+        outputStructType=StructType(out_fields),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout
+        if max_duration is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+def _with_shard_key(fn):
+    """Adapt the 1-key ring body to a (conv_id, shard) key: run it on the
+    conv_id and prepend the shard column to each yielded frame."""
+
+    def wrapped(key, pdfs, state):
+        conv_id, shard = key
+        for frame in fn((conv_id,), pdfs, state):
+            frame.insert(0, "shard", np.full(len(frame), shard, dtype=np.int32))
+            yield frame
+
+    return wrapped
+
+
 def ring_state_from_actions(actions: DataFrame) -> DataFrame:
     """Reconstruct each conversation's CURRENT buffer from the emitted
     ADD/DUP/EVICT action log — event-sourcing replay.

@@ -288,6 +288,81 @@ class TestRingBuffer:
 # Stream-stream join (F7)
 # ---------------------------------------------------------------------------
 
+class TestShardedRingBuffer:
+    """VERDICT r02 #7: hot-conversation mitigation — per-shard buffers.
+    Contract: dedup + age eviction EXACT vs the unsharded op; capacity
+    shard-local with total <= n_shards*ceil(max_data/n_shards)."""
+
+    @staticmethod
+    def _pipe(n_shards, **kw):
+        from real_time_sliding_window_spark.operators.stateful import (
+            sharded_ring_buffer_stream,
+        )
+
+        return lambda stream: sharded_ring_buffer_stream(
+            stream, timedelta(0), n_shards=n_shards, **kw
+        )
+
+    def test_age_and_dedup_match_unsharded(self, spark, tmp_path):
+        """Same pushes through plain vs sharded(3): the (action, reason,
+        turn_idx) row sets are identical for age eviction and DUPs."""
+        f2 = synth.f2_expiry_rows(T0 + 6 * SEC)
+        redeliver = f2.iloc[:2]
+        advance = rows(("cadv", 0, "user", "adv", None, 6))
+        pushes = [f2, redeliver, advance]
+
+        def plain(stream):
+            return ring_buffer_stream(
+                stream, timedelta(0), max_duration=timedelta(seconds=3)
+            )
+
+        _, psnaps = drive(spark, tmp_path, plain, pushes, "shref")
+        _, ssnaps = drive(
+            spark, tmp_path,
+            self._pipe(3, max_duration=timedelta(seconds=3)),
+            pushes, "shrd",
+        )
+        key = lambda df: sorted(
+            map(tuple, df[["conv_id", "action", "reason", "turn_idx"]]
+                .fillna("").itertuples(index=False))
+        )
+        assert key(ssnaps[-1]) == key(psnaps[-1])
+
+    def test_capacity_bound_and_one_shard_exact(self, spark, tmp_path):
+        ten = rows(*[("c1", i, "user", f"t{i}", None, i) for i in range(10)])
+
+        # n_shards=2, max_data=4: per-shard cap 2, total kept <= 4
+        _, snaps = drive(
+            spark, tmp_path, self._pipe(2, max_data=4), [ten], "shcap"
+        )
+        final = snaps[-1]
+        assert len(final[final.action == "ADD"]) == 10
+        kept = (
+            set(final[final.action == "ADD"].turn_idx)
+            - set(final[final.action == "EVICT"].turn_idx)
+        )
+        assert len(kept) <= 4
+        # each shard kept its own newest-2 (shard-local oldest-first evict)
+        for _, g in final.groupby("shard"):
+            g_kept = set(g[g.action == "ADD"].turn_idx) - set(
+                g[g.action == "EVICT"].turn_idx
+            )
+            g_ev = set(g[g.action == "EVICT"].turn_idx)
+            assert all(k > e for k in g_kept for e in g_ev)
+
+        # n_shards=1 == the plain operator, row for row
+        def plain(stream):
+            return ring_buffer_stream(stream, timedelta(0), max_data=4)
+
+        _, p = drive(spark, tmp_path, plain, [ten], "shone")
+        _, s = drive(spark, tmp_path, self._pipe(1, max_data=4), [ten], "shone1")
+        cols = ["conv_id", "action", "reason", "turn_idx", "buffer_size"]
+        key = lambda df: sorted(
+            map(tuple, df[cols].fillna("").itertuples(index=False))
+        )
+        assert key(s[-1]) == key(p[-1])
+
+
 class TestStreamJoin:
     def test_user_tool_interval_join(self, spark, tmp_path):
         def pipe(stream):
