@@ -44,6 +44,17 @@ sys.path.insert(0, REPO)
 
 LEVELS = (8, 32)
 REPS = int(os.environ.get("RTSW_SCALE_REPS", "2"))
+# which jobs to run ("fw,ring"): tenancy noise is one-sided (it only ever
+# SLOWS a run), so the quiet-host estimate per level is best-of-many runs —
+# job selection lets extra runs target the noisier job without paying for
+# both
+JOBS = set(os.environ.get("RTSW_SCALE_JOBS", "fw,ring").split(","))
+# RTSW_SCALE_STATE_DIR: place checkpoints + spark.local.dir there (e.g.
+# /dev/shm). Models the per-executor NVMe state disks a real 4N-executor
+# cluster has — on this single box every level otherwise funnels RocksDB
+# commits + changelog uploads through ONE shared disk, a topology artifact
+# a cluster doesn't have (the disk term is constant, not 4x, at 4N).
+STATE_DIR = os.environ.get("RTSW_SCALE_STATE_DIR")
 
 # featurize+window corpus: realistic turn lengths
 FW_CONVS = int(os.environ.get("RTSW_SCALE_FW_CONVS", "640000"))
@@ -86,10 +97,15 @@ def run_one(cpus: int) -> None:
     from real_time_sliding_window_spark.streaming.pipeline import windowed_stream
     from real_time_sliding_window_spark.synth import TRANSCRIPT_SCHEMA
 
+    extra = {}
+    if STATE_DIR:
+        os.makedirs(STATE_DIR, exist_ok=True)
+        extra["spark.local.dir"] = STATE_DIR
     spark = get_spark(
         app_name=f"rtsw-scale-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -147,7 +163,7 @@ def run_one(cpus: int) -> None:
         )
 
     def run(df, name) -> float:
-        ckpt = tempfile.mkdtemp(prefix=f"sc_{name}_{cpus}_")
+        ckpt = tempfile.mkdtemp(prefix=f"sc_{name}_{cpus}_", dir=STATE_DIR)
         t0 = time.monotonic()
         q = (
             df.writeStream.foreachBatch(
@@ -164,25 +180,20 @@ def run_one(cpus: int) -> None:
         return dt
 
     # untimed warmup: starts cpus Python workers, JITs codegen, opens stores
-    run(fw_job(warm_fw), "warm_fw")
-    run(ring_job(warm_ring), "warm_ring")
-
-    dt_fw = min(run(fw_job(fw_path), f"fw{i}") for i in range(REPS))
-    dt_ring = min(run(ring_job(ring_path), f"ring{i}") for i in range(REPS))
-
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "fw_rows": fw_rows,
-                "ring_rows": ring_rows,
-                "window_tps": round(fw_rows / dt_fw),
-                "ring_tps": round(ring_rows / dt_ring),
-                "window_sec": round(dt_fw, 2),
-                "ring_sec": round(dt_ring, 2),
-            }
-        )
-    )
+    out = {"cpus": cpus, "fw_rows": fw_rows, "ring_rows": ring_rows}
+    if STATE_DIR:
+        out["state_dir"] = STATE_DIR
+    if "fw" in JOBS:
+        run(fw_job(warm_fw), "warm_fw")
+        dt_fw = min(run(fw_job(fw_path), f"fw{i}") for i in range(REPS))
+        out["window_tps"] = round(fw_rows / dt_fw)
+        out["window_sec"] = round(dt_fw, 2)
+    if "ring" in JOBS:
+        run(ring_job(warm_ring), "warm_ring")
+        dt_ring = min(run(ring_job(ring_path), f"ring{i}") for i in range(REPS))
+        out["ring_tps"] = round(ring_rows / dt_ring)
+        out["ring_sec"] = round(dt_ring, 2)
+    print(json.dumps(out))
     spark.stop()
 
 
