@@ -346,7 +346,10 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic DuckDB's `quantile_disc` defines, so the twin is VALUE-HASH
     gated end to end — convention, plumbing, and merge path all pinned.
     The genuinely-approximate regime (n > accuracy) is measured in
-    BENCH/PERCENTILES.md (rank error ≤ n/accuracy by GK's guarantee)."""
+    BENCH/PERCENTILES.md (rank error ≤ n/accuracy by GK's guarantee).
+    Streaming twin: streaming/pipeline.py::percentile_stream — the SAME
+    mergeable sketch folds into windowed state per micro-batch (exact
+    percentile cannot stream; pytest TestStreamingTwins)."""
     ev = _events(spark, sf_dir).withColumn("cents", _cents())
     return W.approx_group_percentiles(
         ev, "cents", ["event_type"], (0.5, 0.95), accuracy=50000

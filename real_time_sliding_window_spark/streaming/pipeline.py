@@ -130,6 +130,47 @@ def pivoted_stream(
     ])
 
 
+def percentile_stream(
+    stream: DataFrame,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    window_length: str = "1 day",
+    watermark_delay: str = "1 minute",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Streaming twin of the percentile queries (VERDICT r02 #10 family).
+
+    Exact ``percentile()`` cannot stream (holistic — it would buffer every
+    group value in state forever); the GK sketch CAN, because it is
+    mergeable: each micro-batch folds its rows into the windowed sketch
+    state, state size stays O(accuracy·log n) per group, and the final
+    quantiles emit when the watermark closes the window. The same
+    accuracy/regime semantics as the batch operator
+    (``operators/windows.py::approx_group_percentiles``): exact discrete
+    order statistics while group n ≤ accuracy, rank error ≤ n/accuracy
+    beyond (BENCH/PERCENTILES.md). Column contract matches the batch
+    operator (window_start, *keys, p_<pct>..., n_rows).
+    """
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    aggs = [
+        F.expr(
+            f"approx_percentile({value_col}, {p}, {accuracy})"
+        ).cast("double").alias(f"p_{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    out = wm.groupBy(
+        F.window(ts_col, window_length).alias("__w"),
+        *[F.col(k) for k in keys],
+    ).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        *[F.col(k) for k in keys],
+        *[c for c in out.columns if c.startswith("p_") or c == "n_rows"],
+    )
+
+
 def distinct_per_window_stream(
     stream: DataFrame,
     distinct_col: str,

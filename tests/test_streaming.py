@@ -850,6 +850,71 @@ class TestStreamingTwins:
         # u1 counted ONCE per (window, type) despite 3 click arrivals
         assert got == {"click": 2, "view": 1}
 
+    def test_percentile_stream_matches_batch_sketch(self, spark, tmp_path):
+        """Windowed GK-sketch percentiles stream (mergeable state — exact
+        `percentile` cannot); in the exact regime the closed window's
+        values equal the batch operator's on the same rows."""
+        from real_time_sliding_window_spark.operators.windows import (
+            approx_group_percentiles,
+        )
+        from real_time_sliding_window_spark.streaming.pipeline import (
+            percentile_stream,
+        )
+
+        schema = "user_id string, event_type string, v long, ts timestamp"
+        batch1 = pd.DataFrame(
+            [
+                {"user_id": "u1", "event_type": "click", "v": i,
+                 "ts": T0 + (i % 2) * SEC}
+                for i in range(100)
+            ]
+        )
+        closer = pd.DataFrame(
+            [{"user_id": "u9", "event_type": "click", "v": 1,
+              "ts": T0 + 60 * SEC}]
+        )
+
+        def pipe(stream):
+            return percentile_stream(
+                stream, "v", (0.5, 0.95), keys=["event_type"],
+                window_length="2 seconds", watermark_delay="1 second",
+            )
+
+        _, snaps = drive(
+            spark, tmp_path, pipe, [batch1, closer], "pcttwin", schema=schema
+        )
+        final = snaps[-1]
+        w0 = final[final.window_start == T0].iloc[0]
+        ref = approx_group_percentiles(
+            spark.createDataFrame(batch1, schema=schema),
+            "v", ["event_type"], (0.5, 0.95),
+        ).toPandas().iloc[0]
+        assert w0["p_0_5"] == ref["p_0_5"]
+        assert w0["p_0_95"] == ref["p_0_95"]
+        assert w0["n_rows"] == 100
+
+    def test_unpivot_streams_stateless(self, spark, tmp_path):
+        """Unpivot (Expand) is stateless — the batch melt expression runs
+        on a stream unchanged, one output row per (row, unpivoted col)."""
+
+        def pipe(stream):
+            wide = stream.select(
+                "user_id", "ts",
+                F.lit(1).alias("n_click"), F.lit(2).alias("n_view"),
+            )
+            return wide.unpivot(
+                ["user_id", "ts"], ["n_click", "n_view"], "metric", "value"
+            )
+
+        batch = event_rows(("u1", "click", 0), ("u2", "view", 1))
+        _, snaps = drive(
+            spark, tmp_path, pipe, [batch], "unpivtwin", schema=EVENT_SCHEMA
+        )
+        final = snaps[-1]
+        assert len(final) == 4  # 2 rows x 2 metrics
+        assert sorted(final.metric.unique()) == ["n_click", "n_view"]
+        assert sorted(final[final.metric == "n_click"].value) == [1, 1]
+
 
 class TestLiveViewIdempotence:
     def test_write_batch_redelivery_noop(self, spark, tmp_path):
