@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from real_time_sliding_window_spark.config import interval_str
 
@@ -97,8 +98,25 @@ def as_of_join(
     # (as_of_join_union) avoids it and is the preferred shape at scale.
     from pyspark.sql.window import Window as _W
 
+    # MapType is unhashable (HASH_MAP_TYPE) — hash map-containing columns
+    # through to_json instead (deterministic per row value), so rows
+    # differing only in a map column still get distinct hashes and the
+    # rn-over-ties step only ever permutes byte-identical rows
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        return False
+
+    hash_cols = [
+        F.to_json(F.col(f.name)) if _contains_map(f.dataType) else F.col(f.name)
+        for f in left.schema.fields
+    ]
     tagged = left.withColumn(
-        "__lh", F.xxhash64(*[F.col(c) for c in left.columns])
+        "__lh", F.xxhash64(*hash_cols)
     ).withColumn(
         "__lid",
         F.struct(

@@ -166,19 +166,24 @@ class RingBufferProcessor(StatefulProcessor):
             want_ms = max(expire_ms, wm + 1)
         try:
             existing = [int(t) for t in self.handle.listTimers()]
-        except (NotImplementedError, AttributeError):
-            # Known runner gap: listTimers unimplemented in some TWS
-            # runtimes. Warn ONCE — silently proceeding with existing=[]
-            # reverts to the timer-leak behavior this method exists to fix
-            # (stale timers never deleted, wanted timer re-registered every
+        except Exception as e:  # noqa: BLE001 — degrade, never kill the query
+            # Runner gap: listTimers unimplemented (NotImplementedError/
+            # AttributeError python-side) or rejected by the state server
+            # (surfaces as Py4JJavaError/PySparkRuntimeError from the JVM —
+            # a broad except is deliberate: a crash here kills the whole
+            # streaming query, strictly worse than the timer leak).
+            # Warn ONCE — silently proceeding with existing=[] reverts to
+            # the timer-leak behavior this method exists to fix (stale
+            # timers never deleted, wanted timer re-registered every
             # batch), and that regression must be visible (ADVICE r02).
             if not getattr(type(self), "_warned_no_list_timers", False):
                 import warnings
 
                 warnings.warn(
-                    "listTimers() unavailable in this TWS runtime: stale "
-                    "expiry timers cannot be deleted and WILL accumulate "
-                    "per key; expect spurious handleExpiredTimer calls.",
+                    f"listTimers() unavailable in this TWS runtime "
+                    f"({type(e).__name__}: {e}): stale expiry timers cannot "
+                    "be deleted and WILL accumulate per key; expect "
+                    "spurious handleExpiredTimer calls.",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -109,11 +109,17 @@ class LiveWindowView:
                         "compactor is active or crashed recently; retry "
                         "later or raise stale_after to steal"
                     )
-                # stale (crashed holder): steal — removal is idempotent
+                # stale (crashed holder): steal ATOMICALLY via rename — two
+                # compactors can both pass the age check, but only one
+                # rename succeeds; the loser loops, sees the winner's FRESH
+                # lock, and raises above (a bare os.remove here would let
+                # the loser delete the winner's new lock — both "holding")
+                steal = f"{path}.steal.{uuid.uuid4().hex}"
                 try:
-                    os.remove(path)
+                    os.rename(path, steal)
                 except FileNotFoundError:
-                    pass
+                    continue  # raced: stolen/released elsewhere — retry
+                os.remove(steal)
         raise RuntimeError(f"could not acquire compaction lease at {path}")
 
     def _release_lease(self) -> None:
@@ -190,13 +196,26 @@ class LiveWindowView:
 
         Honors the compaction lease: reading while ``compact`` swaps the
         oldest delta dir could return a torn view, so a held lease raises
-        a retryable error instead (VERDICT r02 #6)."""
-        if os.path.exists(self._lock_path()):
-            raise RuntimeError(
-                f"compaction in progress under {self.root} "
-                f"({self.LOCK_NAME} held) — retry when it completes"
-            )
-        return self._resolved(spark, keys)
+        a retryable error instead (VERDICT r02 #6). Scope of the
+        guarantee: the lease is checked when the DataFrame is BUILT (and
+        re-checked after path listing); the returned DataFrame is lazy, so
+        consume it before starting a compactor — plain-filesystem reads
+        have no snapshot isolation (a compactor that starts after this
+        returns can still invalidate the scan; the Iceberg twin reads a
+        pinned snapshot and has no such window)."""
+        def _require_no_lease():
+            if os.path.exists(self._lock_path()):
+                raise RuntimeError(
+                    f"compaction in progress under {self.root} "
+                    f"({self.LOCK_NAME} held) — retry when it completes"
+                )
+
+        _require_no_lease()
+        out = self._resolved(spark, keys)
+        # re-check AFTER the delta dirs were listed: a compactor acquiring
+        # mid-build would otherwise hand us a doomed path set
+        _require_no_lease()
+        return out
 
     def _resolved(
         self, spark: SparkSession, keys: Sequence[str] = ()

@@ -999,3 +999,23 @@ class TestRingReplay:
         assert list(c1["turn_rank"]) == [1, 2]
         c2 = state[state.conv_id == "c2"]
         assert list(c2["turn_idx"]) == [0]
+
+
+class TestStreamingTwinValidation:
+    def test_distinct_stream_rejects_short_watermark(self, spark):
+        """Exactness precondition: watermark_delay < window_length would
+        let dedup state expire mid-window and overcount (code-review r03)."""
+        from real_time_sliding_window_spark.streaming.pipeline import (
+            distinct_per_window_stream,
+        )
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .selectExpr("'u' as user_id", "'t' as event_type",
+                        "timestamp as ts")
+        )
+        with pytest.raises(ValueError, match="watermark_delay"):
+            distinct_per_window_stream(
+                stream, "user_id", keys=["event_type"],
+                window_length="1 day", watermark_delay="1 minute",
+            )

@@ -368,3 +368,51 @@ def test_as_of_join_union_equals_interval_plan(spark):
     ub = as_of_join_union(left, right, keys=["user"], left_ts="ts",
                           right_ts="ts", tiebreakers=["cid"]).toPandas()
     assert ub.set_index("l_pid").loc[103, "r_cid"] == 5
+
+
+def test_as_of_join_map_column_left(spark):
+    """A MapType column on the left is legal input: the identity hash
+    routes it through to_json (xxhash64 rejects maps), and rows differing
+    only in the map still join independently (code-review r03)."""
+    import pandas as pd
+    from datetime import timedelta as td
+
+    from pyspark.sql import functions as F
+
+    from real_time_sliding_window_spark.operators.joins import as_of_join
+
+    T = NOW
+    left = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1"],
+        "pid": [1, 1],
+        "ts": [T + td(seconds=10)] * 2,
+    })).withColumn(
+        "meta",
+        F.when(F.col("pid") >= 0, F.create_map(F.lit("k"), F.lit("v"))),
+    )
+    right = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1"], "cid": [7], "ts": [T + td(seconds=3)],
+    }))
+    out = as_of_join(
+        left, right, keys=["user"], left_ts="ts", right_ts="ts",
+        horizon=td(seconds=20), tiebreakers=["cid"],
+    ).toPandas()
+    assert len(out) == 2 and list(out.r_cid) == [7, 7]
+
+
+def test_ensure_parallelism_join_derived_frame(spark):
+    """Join-derived plans carry wildly inflated size stats (no CBO); the
+    estimate alone would skip the repartition and leave the hot interpreted
+    stage single-partition — the fallback exact check must catch it
+    (code-review r03)."""
+    from real_time_sliding_window_spark.util import ensure_parallelism
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+
+    joined = df.join(
+        df.select("doc_id", F.col("n_chars").alias("nc2")), "doc_id"
+    )
+    # tiny corpus: AQE coalesces the join output to very few partitions
+    out = ensure_parallelism(joined)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -220,16 +220,23 @@ def main() -> None:
 
     n, x4 = results[LEVELS[0]], results[LEVELS[1]]
     ratio = LEVELS[1] / LEVELS[0]
-    eff_win = (x4["window_tps"] / n["window_tps"]) / ratio
-    eff_ring = (x4["ring_tps"] / n["ring_tps"]) / ratio
-    summary = {
-        "levels": LEVELS,
-        "results": results,
-        "scaling_efficiency_window": round(eff_win, 3),
-        "scaling_efficiency_ring": round(eff_ring, 3),
-    }
+    summary = {"levels": LEVELS, "results": results}
+    if "fw" in JOBS:
+        summary["scaling_efficiency_window"] = round(
+            (x4["window_tps"] / n["window_tps"]) / ratio, 3
+        )
+    if "ring" in JOBS:
+        summary["scaling_efficiency_ring"] = round(
+            (x4["ring_tps"] / n["ring_tps"]) / ratio, 3
+        )
     print(json.dumps(summary))
-    _write_baseline_md(summary)
+    if JOBS >= {"fw", "ring"}:
+        _write_baseline_md(summary)
+    else:
+        # job-subset runs are extra per-level samples for the curated
+        # multi-run analysis in BENCH/BASELINE.md — never clobber it with
+        # a partial snapshot
+        print("(job subset: summary printed only, BASELINE.md untouched)")
 
 
 def _write_baseline_md(s: dict) -> None:
