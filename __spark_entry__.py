@@ -749,6 +749,31 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: duplicate-word fraction and
+    top-bigram fraction per document (zero-shuffle sorted-run-length plan;
+    operators/text.py::repetition_signals)."""
+    return T.repetition_signals(_docs(spark, sf_dir))
+
+
+_TFIDF_QUERIES = [
+    ("q_window", "spark window merge sort"),
+    ("q_scan", "hash table scan batch"),
+    ("q_value", "key value row fast"),
+]
+
+
+def q_tfidf_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: integer TF-IDF top-10 per query over an
+    inverted postings index (operators/retrieval.py::tfidf_topk) — the
+    search-side complement of the ANN family. Log-free rational idf
+    ((N*1000) div (df+1)) keeps scores exact int64, so the oracle replays
+    the whole index + scoring pipeline and hash-matches at any scale."""
+    from real_time_sliding_window_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), _TFIDF_QUERIES, k=10)
+
+
 # Twin of dedup.ngram_jaccard_pairs(max_df=128): candidates only from
 # shingles with document frequency <= 128; verification counts ALL shared
 # shingles of surviving candidate pairs (exact inter/union/jaccard).
@@ -1153,6 +1178,19 @@ _ASOF_SQL = """
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _tfidf_terms_sql() -> str:
+    """(query_id, term) VALUES rows for the tfidf oracle — tokenized with
+    the same rules as the Spark side (retrieval.tokenize_query)."""
+    from real_time_sliding_window_spark.operators.retrieval import tokenize_query
+
+    pairs = [
+        (qid, t)
+        for qid, text in _TFIDF_QUERIES
+        for t in sorted(set(tokenize_query(text)))
+    ]
+    return ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+
+
 def _hits_sql(words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in words)
     return f"CAST(len(list_filter(tok, t -> list_contains([{arr}], t))) AS BIGINT)"
@@ -1220,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "token_counts_docs": q_token_counts_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "repetition_docs": q_repetition_docs,
+        "tfidf_search_docs": q_tfidf_search_docs,
     }
 
 
@@ -1868,5 +1908,69 @@ def oracle_sql() -> dict[str, str]:
                 md5(COALESCE(array_to_string(tok[1:8], ' '), ''))
                     AS prefix_fingerprint
             FROM t
+        """,
+        # exact unnest+group-by twin of the zero-shuffle sorted-run plan:
+        # max multiplicity of a bigram == longest equal run after sorting
+        "repetition_docs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_words,
+                       CAST(len(list_distinct(t)) AS BIGINT)
+                           AS n_distinct_words,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])
+                            ELSE []::VARCHAR[] END AS bg
+                FROM tok
+            ),
+            cnt AS (
+                SELECT doc_id, bgram, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS bgram FROM base)
+                GROUP BY 1, 2
+            ),
+            top AS (SELECT doc_id, max(c) AS top FROM cnt GROUP BY 1)
+            SELECT b.doc_id, b.n_words, b.n_distinct_words,
+                   CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(top.top, 0) AS BIGINT) AS top_bigram_count,
+                   CASE WHEN b.n_words > 0
+                        THEN 1.0 - CAST(b.n_distinct_words AS DOUBLE)
+                                   / CAST(b.n_words AS DOUBLE)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(b.bg) > 0
+                        THEN CAST(COALESCE(top.top, 0) AS DOUBLE)
+                             / CAST(len(b.bg) AS DOUBLE)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        "tfidf_search_docs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            post AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+                GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY 1
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            q(query_id, term) AS (VALUES {_tfidf_terms_sql()}),
+            scored AS (
+                SELECT q.query_id, p.doc_id,
+                       CAST(sum(p.tf * ((n.n_docs * 1000) // (d.df + 1)))
+                            AS BIGINT) AS score
+                FROM post p
+                JOIN dfreq d USING (term)
+                JOIN q ON q.term = p.term
+                CROSS JOIN n
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 10
         """,
     }

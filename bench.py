@@ -54,6 +54,8 @@ BATCH_QUERIES = [
     "ann_recall",
     "role_counts_events",
     "value_percentiles_approx",
+    "repetition_docs",
+    "tfidf_search_docs",
     "quality_docs",
     "decontaminate_docs",
     "chunk_docs",

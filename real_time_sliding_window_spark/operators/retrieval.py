@@ -1,0 +1,100 @@
+"""Keyword retrieval over the document corpus: inverted-index TF-IDF top-k.
+
+The search-side complement of the ANN family (operators/similarity.py):
+given free-text queries, rank documents by term-frequency × inverse
+document frequency over an exploded postings index. The plan is the
+canonical distributed retrieval shape — one explode + one partial-agg
+count builds the postings, the query side broadcasts, scoring is a hash
+join + map-side-combined sum, and per-query top-k lowers to
+WindowGroupLimit. At 100 TB the postings table is the thing you persist
+(bucketed by term, storage.py) and queries touch only their terms'
+postings.
+
+Cross-engine determinism (the repo-wide oracle discipline): the idf
+weight is the INTEGER ``(N * 1000) div (df + 1)`` — a log-free rational
+idf, monotone-equivalent to ln-idf for ranking within the common df
+regime — so scores are exact int64 sums and the DuckDB twin hash-matches
+at any scale. Production swap-in for graded relevance: BM25's saturating
+tf and ln-idf (floats; ranking-stable but not bit-portable).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from real_time_sliding_window_spark.functions import columns as C
+from real_time_sliding_window_spark.util import ensure_parallelism
+
+IDF_SCALE = 1000
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Driver-side twin of columns.tokens ([a-z0-9]+ over lowercase)."""
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: (term, doc_id, tf). One explode + one hash agg."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(C.tokens(text_col)).alias("term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k documents per query by integer TF-IDF.
+
+    ``queries``: (query_id, free text) pairs; terms are tokenized with the
+    same tokenizer as the corpus. Score(doc, q) = Σ over matched terms of
+    ``tf · ((N·1000) div (df+1))`` — exact int64 arithmetic end to end.
+    Ties break toward the lower doc_id (deterministic output).
+
+    ``max_df`` (scale guard, same doctrine as the dedup family): drop
+    postings of terms present in more than max_df documents from scoring.
+    A stopword term joins to nearly EVERY document (the retrieval analogue
+    of the ngram df-cap hazard, BENCH/DFCAP.md) while its idf weight is
+    ≈ 1000/df — negligible; cutting it bounds the join fan-out per query
+    term at max_df rows. Mirrored in the driver oracle when set.
+    """
+    post = postings(df, id_col, text_col)
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = post.join(dfreq, "term").withColumn(
+        "w", F.expr(f"({n_docs}L * {IDF_SCALE}) div (df + 1)")
+    )
+    q_terms = [
+        (qid, term) for qid, text in queries for term in set(tokenize_query(text))
+    ]
+    qdf = df.sparkSession.createDataFrame(q_terms, "query_id string, term string")
+    scored = (
+        weighted.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -176,3 +176,64 @@ def fingerprints(
         F.md5(F.array_join("__tok", " ")).alias("fingerprint"),
         F.md5(F.array_join(F.slice("__tok", 1, 8), " ")).alias("prefix_fingerprint"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021
+    §A1.1 — the standard web-corpus quality gates): duplicate-word
+    fraction and most-frequent-bigram fraction. Heavily repeated documents
+    (keyword stuffing, boilerplate loops, templated spam) score high and
+    get filtered before training.
+
+    Zero shuffle: the top-bigram count is computed per row as the longest
+    run of equal adjacent elements in the SORTED bigram array (equal
+    bigrams are adjacent after sorting, so max run == max multiplicity) —
+    an interpreted aggregate() lambda over a bounded array, same cost
+    class as the other text passes, instead of an explode + groupBy + max
+    (two shuffles) formulation. All outputs are exact integers plus one
+    int64/int64 double division, so the DuckDB oracle (unnest + group by
+    twin) matches bit-for-bit.
+    """
+    t = ensure_parallelism(df).withColumn("__tok", C.tokens(text_col))
+    n_words = F.size("__tok").cast("long")
+    n_distinct = F.expr("size(array_distinct(__tok))").cast("long")
+    # explicit <2-token guard: sequence(1, 0) yields a DESCENDING [1, 0]
+    # in Spark, not an empty array
+    bigrams = F.expr(
+        "if(size(__tok) >= 2, "
+        "transform(sequence(1, size(__tok) - 1), "
+        "i -> concat(__tok[i - 1], ' ', __tok[i])), "
+        "array())"
+    )
+    top_run = F.expr(
+        "aggregate(sort_array(__bg), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(a, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(x = a.prev, a.run + 1L, 1L), "
+        "  'best', greatest(a.best, if(x = a.prev, a.run + 1L, 1L))), "
+        "a -> a.best)"
+    )
+    out = t.withColumn("__bg", bigrams).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.size("__bg").cast("long").alias("n_bigrams"),
+        top_run.alias("top_bigram_count"),
+    )
+    dup_frac = F.when(
+        F.col("n_words") > 0,
+        F.lit(1.0)
+        - F.col("n_distinct_words").cast("double")
+        / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_bigram_count").cast("double")
+        / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*", dup_frac.alias("dup_word_frac"), top_frac.alias("top_bigram_frac")
+    )

@@ -703,3 +703,59 @@ class TestChunking:
         )
         q.awaitTermination()
         assert sorted(kept) == [0, 2]
+
+
+class TestRepetitionSignals:
+    def test_known_fixture(self, spark):
+        """'a a a b': 4 words, 2 distinct, bigrams [aa, aa, ab] -> top 2."""
+        import pandas as pd
+
+        from real_time_sliding_window_spark.operators.text import (
+            repetition_signals,
+        )
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a a a b", "solo", ""],
+        }))
+        out = (
+            repetition_signals(docs).toPandas().set_index("doc_id")
+        )
+        r = out.loc[0]
+        assert (r.n_words, r.n_distinct_words, r.n_bigrams,
+                r.top_bigram_count) == (4, 2, 3, 2)
+        assert r.dup_word_frac == 0.5 and abs(r.top_bigram_frac - 2 / 3) < 1e-12
+        # 1-token and empty docs: no bigrams, zero fractions
+        assert out.loc[1].n_bigrams == 0 and out.loc[1].top_bigram_frac == 0.0
+        assert out.loc[2].n_words == 0 and out.loc[2].dup_word_frac == 0.0
+
+
+class TestTfidfRetrieval:
+    @staticmethod
+    def _docs(spark):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["apple banana", "apple apple", "cherry"],
+        }))
+
+    def test_scoring_and_ranks(self, spark):
+        from real_time_sliding_window_spark.operators.retrieval import tfidf_topk
+
+        out = tfidf_topk(
+            self._docs(spark), [("q", "apple")], k=5
+        ).toPandas().sort_values("rank")
+        # df(apple)=2, N=3 -> w = 3000 div 3 = 1000; d1 tf=2 -> 2000
+        assert list(out.doc_id) == [1, 0]
+        assert list(out.score) == [2000, 1000]
+        assert list(out["rank"]) == [1, 2]  # .rank is the pandas method
+
+    def test_max_df_drops_stopword_terms(self, spark):
+        from real_time_sliding_window_spark.operators.retrieval import tfidf_topk
+
+        out = tfidf_topk(
+            self._docs(spark), [("q", "apple cherry")], k=5, max_df=1
+        ).toPandas()
+        # apple (df=2) is dropped by the cap; only cherry scores
+        assert list(out.doc_id) == [2]
