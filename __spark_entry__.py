@@ -749,6 +749,41 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_docs(spark, sf_dir))
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate: revenue from lineitems whose
+    quantity is below 20% of their part's average quantity, per brand.
+    The avg threshold is reformulated in EXACT integers —
+    ``qty < 0.2·(sum/cnt)  ⟺  qty·5·cnt < sum`` — so the float knife-edge
+    a literal 0.2·avg comparison risks (a row exactly at the boundary
+    flipping between engines) cannot exist by construction. Plan: the
+    per-part stats are a partial-agg groupBy over lineitem joined back
+    (Catalyst broadcasts the filtered part dim); no window, no
+    correlated-subquery re-scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("qty").alias("sum_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(stats, "l_partkey")
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_qty_items"),
+            F.sum("cents").alias("small_qty_revenue_cents"),
+        )
+    )
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates: duplicate-word fraction and
     top-bigram fraction per document (zero-shuffle sorted-run-length plan;
@@ -1260,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -1908,6 +1944,28 @@ def oracle_sql() -> dict[str, str]:
                 md5(COALESCE(array_to_string(tok[1:8], ' '), ''))
                     AS prefix_fingerprint
             FROM t
+        """,
+        "small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem
+            ),
+            stats AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(qty) AS BIGINT) AS sum_qty
+                FROM li GROUP BY 1
+            )
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_small_qty_items,
+                   CAST(sum(li.cents) AS BIGINT) AS small_qty_revenue_cents
+            FROM li
+            JOIN part p ON li.l_partkey = p.p_partkey
+            JOIN stats s ON li.l_partkey = s.l_partkey
+            WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+              AND li.qty * 5 * s.cnt < s.sum_qty
+            GROUP BY 1
         """,
         # exact unnest+group-by twin of the zero-shuffle sorted-run plan:
         # max multiplicity of a bigram == longest equal run after sorting

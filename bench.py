@@ -56,6 +56,7 @@ BATCH_QUERIES = [
     "value_percentiles_approx",
     "repetition_docs",
     "tfidf_search_docs",
+    "small_qty_revenue",
     "quality_docs",
     "decontaminate_docs",
     "chunk_docs",
