@@ -72,3 +72,25 @@ def test_bucketed_join_no_join_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_repetition_zero_shuffle_map_plan(spark):
+    """The sorted-run-length plan must stay map-only (no explode+groupBy):
+    at most the ensure_parallelism exchange, no partial agg needed."""
+    sc = scorecard(E.q_repetition_docs(spark, SF))
+    assert sc["exchanges"] <= 2
+    assert sc["scan_cols"] <= 2
+
+
+def test_tfidf_broadcasts_query_terms_and_limits_rank(spark):
+    sc = scorecard(E.q_tfidf_search_docs(spark, SF))
+    assert sc["broadcast_join"], "query-term table must broadcast"
+    assert sc["window_group_limit"], "per-query top-k must push the rank limit"
+    assert sc["partial_agg"], "postings tf count must map-side combine"
+
+
+def test_small_qty_revenue_broadcast_and_pushdown(spark):
+    sc = scorecard(E.q_small_qty_revenue(spark, SF))
+    assert sc["broadcast_join"], "filtered part dim must broadcast"
+    assert sc["pushed_filters"], "brand filter must reach the part scan"
+    assert sc["partial_agg"]
