@@ -51,6 +51,91 @@ def postings(
     )
 
 
+def score_postings(
+    post: DataFrame,
+    n_docs: int,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Score a (term, doc_id, tf) postings table against free-text queries
+    — the shared back half of batch ``tfidf_topk`` and the incremental
+    index (``postings_stream``). ``n_docs`` is the corpus size the idf is
+    computed against (the caller knows it; an index table cannot)."""
+    spark = post.sparkSession
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = post.join(dfreq, "term").withColumn(
+        "w", F.expr(f"({n_docs}L * {IDF_SCALE}) div (df + 1)")
+    )
+    q_terms = [
+        (qid, term) for qid, text in queries for term in set(tokenize_query(text))
+    ]
+    qdf = spark.createDataFrame(q_terms, "query_id string, term string")
+    scored = (
+        weighted.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def run_postings_index(
+    stream: DataFrame,
+    sink,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """INCREMENTAL index maintenance: drain the document stream, appending
+    each micro-batch's (term, doc_id, tf) postings to the index table
+    through the exactly-once sink (streaming/sink.py — idempotent under
+    redelivery). The tf aggregation runs INSIDE foreachBatch — it is
+    batch-local by design (a streaming groupBy would need a watermark and
+    would hold postings state forever), because tf is doc-local: a doc's
+    term counts are complete the moment the doc arrives.
+
+    Correctness contract (pinned by ``TestStreamingPostings``): as long as
+    each doc_id arrives in ONE micro-batch (the ingest guarantee of a
+    document feed; use ``deduped_stream`` upstream for at-least-once
+    sources), the UNION of all committed increments equals the batch
+    ``postings()`` of the full corpus — no cross-batch merge is ever
+    needed, and df/idf are computed at QUERY time from the accumulated
+    index (``score_postings``), never stored stale. At 100 TB the index
+    table is partitioned/bucketed by term (storage.py) so query terms
+    prune to their buckets.
+    """
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        post = (
+            batch.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(C.tokens(text_col)).alias("term"),
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        sink.write_batch(post, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName("postings-index")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def tfidf_topk(
     df: DataFrame,
     queries: Sequence[tuple[str, str]],
@@ -75,26 +160,4 @@ def tfidf_topk(
     """
     post = postings(df, id_col, text_col)
     n_docs = df.select(id_col).distinct().count()
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("df") <= max_df)
-    weighted = post.join(dfreq, "term").withColumn(
-        "w", F.expr(f"({n_docs}L * {IDF_SCALE}) div (df + 1)")
-    )
-    q_terms = [
-        (qid, term) for qid, text in queries for term in set(tokenize_query(text))
-    ]
-    qdf = df.sparkSession.createDataFrame(q_terms, "query_id string, term string")
-    scored = (
-        weighted.join(F.broadcast(qdf), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return score_postings(post, n_docs, queries, k=k, max_df=max_df)

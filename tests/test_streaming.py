@@ -1019,3 +1019,45 @@ class TestStreamingTwinValidation:
                 stream, "user_id", keys=["event_type"],
                 window_length="1 day", watermark_delay="1 minute",
             )
+
+
+class TestStreamingPostings:
+    def test_incremental_index_equals_batch_postings(self, spark, tmp_path):
+        """Incremental retrieval index: per-batch postings increments
+        through the exactly-once sink (with a redelivered batch proving
+        idempotence) accumulate to EXACTLY the batch postings() of the
+        full corpus, and scoring the accumulated index reproduces batch
+        tfidf_topk."""
+        from real_time_sliding_window_spark.operators.retrieval import (
+            postings,
+            run_postings_index,
+            score_postings,
+            tfidf_topk,
+        )
+
+        schema = "doc_id long, text string"
+        b1 = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["apple banana", "apple apple"]})
+        b2 = pd.DataFrame({"doc_id": [2], "text": ["cherry apple"]})
+
+        feed = FileFeed(spark, str(tmp_path / "pidx_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "pidx_out"))
+        ckpt = str(tmp_path / "pidx_ckpt")
+        for push in (b1, b2):
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_postings_index(feed.stream(schema), sink, ckpt)
+        # rerun with no new files: replayed/empty trigger must not change
+        # the committed index (exactly-once manifest)
+        run_postings_index(feed.stream(schema), sink, ckpt)
+        idx = sink.read_committed(spark)
+        full = spark.createDataFrame(pd.concat([b1, b2]), schema=schema)
+        batch_post = postings(full).toPandas()
+        got = idx.toPandas()[batch_post.columns.tolist()]
+        key = lambda p: sorted(map(tuple, p.itertuples(index=False)))
+        assert key(got) == key(batch_post)
+
+        # scoring the accumulated index == batch tfidf_topk on the corpus
+        q = [("q", "apple cherry")]
+        from_idx = score_postings(idx, n_docs=3, queries=q, k=5).toPandas()
+        from_batch = tfidf_topk(full, q, k=5).toPandas()
+        assert key(from_idx) == key(from_batch)
