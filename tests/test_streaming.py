@@ -1061,3 +1061,79 @@ class TestStreamingPostings:
         from_idx = score_postings(idx, n_docs=3, queries=q, k=5).toPandas()
         from_batch = tfidf_topk(full, q, k=5).toPandas()
         assert key(from_idx) == key(from_batch)
+
+
+class TestAsOfStreamJoin:
+    def test_matches_batch_asof_with_ties_and_horizon(self, spark, tmp_path):
+        """Streaming as-of == batch as_of_join on the same rows: latest
+        right <= left_ts within the horizon, equal-ts tie to the higher
+        tiebreaker, no-match lefts emitted with nulls, append-mode final."""
+        import json
+
+        from real_time_sliding_window_spark.operators.joins import as_of_join
+        from real_time_sliding_window_spark.streaming.asof import (
+            as_of_stream_join,
+        )
+
+        l_schema = "user string, pid long, ts timestamp"
+        r_schema = "user string, cid long, ts timestamp"
+        lrows = pd.DataFrame({
+            "user": ["u1", "u1", "u2"],
+            "pid": [100, 101, 102],
+            "ts": [T0 + 10 * SEC, T0 + 30 * SEC, T0 + 10 * SEC],
+        })
+        rrows = pd.DataFrame({
+            "user": ["u1", "u1", "u1", "u1", "u2"],
+            "cid": [1, 2, 3, 4, 5],
+            "ts": [T0 + 3 * SEC, T0 + 7 * SEC, T0 + 7 * SEC,
+                   T0 + 12 * SEC, T0 + 40 * SEC],
+        })
+        closer_l = pd.DataFrame(
+            {"user": ["zz"], "pid": [999], "ts": [T0 + 120 * SEC]}
+        )
+
+        lfeed = FileFeed(spark, str(tmp_path / "asof_l"))
+        rfeed = FileFeed(spark, str(tmp_path / "asof_r"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "asof_out"))
+        ckpt = str(tmp_path / "asof_ckpt")
+
+        def run():
+            res = as_of_stream_join(
+                lfeed.stream(l_schema), rfeed.stream(r_schema),
+                keys=["user"], horizon=timedelta(seconds=20),
+                watermark_delay=timedelta(seconds=2),
+                left_payload=["pid"], right_payload=["cid"],
+            )
+            run_to_sink(res, sink, ckpt, query_name="asofstream")
+
+        # rights first, then lefts, then the watermark closer
+        rfeed.push(spark.createDataFrame(rrows, schema=r_schema))
+        lfeed.push(spark.createDataFrame(lrows, schema=l_schema))
+        run()
+        lfeed.push(spark.createDataFrame(closer_l, schema=l_schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"]
+        pid = got.left_json.map(lambda s: json.loads(s)["pid"])
+        cid = got.right_json.map(
+            lambda s: json.loads(s)["cid"] if isinstance(s, str) else None
+        )
+        stream_match = {
+            int(p): (int(c) if pd.notna(c) else None)
+            for p, c in zip(pid, cid)
+        }
+
+        batch = as_of_join(
+            spark.createDataFrame(lrows, schema=l_schema),
+            spark.createDataFrame(rrows, schema=r_schema),
+            keys=["user"], left_ts="ts", right_ts="ts",
+            horizon=timedelta(seconds=20), tiebreakers=["cid"],
+        ).toPandas()
+        batch_match = dict(zip(batch.l_pid, batch.r_cid))
+
+        # pid 100 -> tie at ts=7 resolves to cid 3; pid 101 -> cid 4;
+        # pid 102 (u2): no click at-or-before -> null row still emitted
+        assert stream_match == {100: 3, 101: 4, 102: None}
+        assert {p: c for p, c in stream_match.items() if c is not None} == \
+            batch_match
