@@ -1137,3 +1137,86 @@ class TestAsOfStreamJoin:
         assert stream_match == {100: 3, 101: 4, 102: None}
         assert {p: c for p, c in stream_match.items() if c is not None} == \
             batch_match
+
+    def test_randomized_parity_with_batch(self, spark, tmp_path):
+        """200 seeded random events over 10 keys with heavy ts ties, pushed
+        in 3 ts-ordered batches: the streamed output must equal the batch
+        as_of_join row set exactly (single-digit tiebreakers keep the
+        lexicographic payload tie rule == numeric-desc)."""
+        import json
+
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators.joins import as_of_join
+        from real_time_sliding_window_spark.streaming.asof import (
+            as_of_stream_join,
+        )
+
+        rng = np.random.default_rng(42)
+        n_l, n_r = 80, 120
+        lrows = pd.DataFrame({
+            "user": [f"u{rng.integers(0, 10)}" for _ in range(n_l)],
+            "pid": range(n_l),
+            "ts": [T0 + int(rng.integers(0, 60)) * SEC for _ in range(n_l)],
+        })
+        rrows = pd.DataFrame({
+            "user": [f"u{rng.integers(0, 10)}" for _ in range(n_r)],
+            "cid": [int(rng.integers(0, 10)) for _ in range(n_r)],  # 1 digit
+            "ts": [T0 + int(rng.integers(0, 60)) * SEC for _ in range(n_r)],
+        })
+        closer = pd.DataFrame(
+            {"user": ["zz"], "pid": [9999], "ts": [T0 + 600 * SEC]}
+        )
+        l_schema = "user string, pid long, ts timestamp"
+        r_schema = "user string, cid long, ts timestamp"
+
+        lfeed = FileFeed(spark, str(tmp_path / "rasof_l"))
+        rfeed = FileFeed(spark, str(tmp_path / "rasof_r"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "rasof_out"))
+        ckpt = str(tmp_path / "rasof_ckpt")
+
+        def run():
+            res = as_of_stream_join(
+                lfeed.stream(l_schema), rfeed.stream(r_schema),
+                keys=["user"], horizon=timedelta(seconds=15),
+                watermark_delay=timedelta(seconds=0),
+                left_payload=["pid"], right_payload=["cid"],
+            )
+            run_to_sink(res, sink, ckpt, query_name="rasof")
+
+        # ts-ordered batches so the watermark only moves forward and no
+        # input is watermark-dropped (parity needs identical effective rows)
+        lrows_s = lrows.sort_values("ts").reset_index(drop=True)
+        rrows_s = rrows.sort_values("ts").reset_index(drop=True)
+        cuts = [(0, 20), (20, 40), (40, 61)]
+        for lo, hi in cuts:
+            lpart = lrows_s[(lrows_s.ts >= T0 + lo * SEC)
+                            & (lrows_s.ts < T0 + hi * SEC)]
+            rpart = rrows_s[(rrows_s.ts >= T0 + lo * SEC)
+                            & (rrows_s.ts < T0 + hi * SEC)]
+            lfeed.push(spark.createDataFrame(lpart, schema=l_schema))
+            rfeed.push(spark.createDataFrame(rpart, schema=r_schema))
+            run()
+        lfeed.push(spark.createDataFrame(closer, schema=l_schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"]
+        stream_rows = sorted(
+            (json.loads(l)["pid"],
+             json.loads(r)["cid"] if isinstance(r, str) else None)
+            for l, r in zip(got.left_json, got.right_json)
+        )
+
+        batch = as_of_join(
+            spark.createDataFrame(lrows, schema=l_schema),
+            spark.createDataFrame(rrows, schema=r_schema),
+            keys=["user"], left_ts="ts", right_ts="ts",
+            horizon=timedelta(seconds=15), tiebreakers=["cid"],
+        ).toPandas()
+        matched = dict(zip(batch.l_pid, batch.r_cid))
+        batch_rows = sorted(
+            (pid, int(matched[pid]) if pid in matched else None)
+            for pid in lrows.pid
+        )
+        assert stream_rows == batch_rows
