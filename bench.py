@@ -186,6 +186,28 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
     results["live_view_turns_per_sec"] = round(total_rows / dt_lv)
     _CLEANUP_DIRS.extend([lv_root, lv_ckpt])
 
+    # stream-stream as-of join: user turns (left) matched to the latest
+    # preceding tool turn (right) per conversation — both sides carved
+    # from the same transcript corpus, one drain batch
+    import pyspark.sql.functions as F
+
+    from real_time_sliding_window_spark.streaming.asof import as_of_stream_join
+
+    def asof_src():
+        src = stream_src(32)
+        left = src.filter(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+        right = src.filter(F.col("role") != "user").select("conv_id", "turn_idx", "ts")
+        return as_of_stream_join(
+            left, right, keys=["conv_id"],
+            horizon=timedelta(minutes=5),
+            watermark_delay=timedelta(seconds=30),
+            left_payload=["turn_idx"], right_payload=["turn_idx"],
+        )
+
+    dt_asof = run(asof_src(), "bench_asof_stream")
+    results["asof_stream_sec"] = round(dt_asof, 2)
+    results["asof_stream_turns_per_sec"] = round(total_rows / dt_asof)
+
     durs = sorted(
         r["batch_duration_ms"] for r in listener.progress if r["batch_duration_ms"]
     )
