@@ -202,6 +202,7 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
             horizon=timedelta(minutes=5),
             watermark_delay=timedelta(seconds=30),
             left_payload=["turn_idx"], right_payload=["turn_idx"],
+            right_tiebreaker="turn_idx",
         )
 
     dt_asof = run(asof_src(), "bench_asof_stream")

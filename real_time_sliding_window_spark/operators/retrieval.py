@@ -114,15 +114,9 @@ def run_postings_index(
     prune to their buckets.
     """
     def _body(batch: DataFrame, batch_id: int) -> None:
-        post = (
-            batch.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(C.tokens(text_col)).alias("term"),
-            )
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        )
-        sink.write_batch(post, batch_id)
+        # the ONE postings definition — reusing postings() keeps the
+        # "union of increments == batch postings" invariant by construction
+        sink.write_batch(postings(batch, id_col, text_col), batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_body)

@@ -7,28 +7,34 @@ the left's timestamp" — the as-of semantics the batch operators
 join Flink ships as a temporal join. This module closes the gap with one
 ``applyInPandasWithState`` operator over the UNIONED two-sided stream:
 
-- both sides are packed to a common (key, side, ts, payload-json) schema
-  and unioned, so ONE shuffle keys the operator (same discipline as the
-  ring buffer);
+- both sides are packed to a common (key, side, ts, tiebreak, payload-json)
+  schema and unioned, so ONE shuffle keys the operator (same discipline as
+  the ring buffer);
 - per key, rights are buffered within the horizon; each left row is held
   until the event-time watermark passes its timestamp — at that moment no
   right row at-or-before it can still arrive (rights behind the watermark
   are dropped at the source), so the match emitted is FINAL. Append-mode
-  exactness, no retractions needed.
-- state is bounded: rights older than ``watermark − horizon`` can no
-  longer match any pending left (pending lefts all have ts ≥ watermark)
-  and are discarded; lefts leave state as they emit. An event-time timer
-  wakes the key when the watermark passes its oldest pending left even if
-  no new rows arrive.
+  exactness, no retractions needed. Unmatched lefts emit with nulls
+  (left-outer; the batch operator is match-only — filter right_ts IS NOT
+  NULL for batch-identical row sets).
+- state is bounded BOTH ways: rights older than ``watermark − horizon``
+  can no longer match any pending left (pending lefts all have
+  ts ≥ watermark) and are discarded; lefts leave state as they emit; and
+  a timer is re-registered on EVERY invocation that keeps state — when no
+  lefts are pending it fires when the oldest right ages out of the
+  horizon, so right-only keys are reaped instead of lingering forever.
 
-Determinism: the match rule is identical to the batch operator — latest
-right with ``l_ts − horizon ≤ r_ts ≤ l_ts``, ties broken by the packed
-payload string descending (caller should put a tiebreaker column first in
-the payload struct) — so the streamed output is gated against the SAME
-batch oracle in tests.
+Determinism: the match rule is the batch operator's — latest right with
+``l_ts − horizon ≤ r_ts ≤ l_ts``; equal-ts ties resolve by the NUMERIC
+``right_tiebreaker`` column descending (exact for |v| < 2^53; the same
+single-tiebreaker-descending rule as ``as_of_join(tiebreakers=[c])``) —
+so the streamed output is gated against the same batch operator in tests.
 
-Payloads ride as JSON strings (``to_json(struct(...))``) so the state
-schema stays fixed for any caller schema; unpack with ``from_json``.
+Keys are packed with ``to_json(struct(keys))`` — unambiguous for any
+value (no separator collisions) — and rows with a NULL in any key column
+are FILTERED on both sides, matching the batch equi-join (NULL keys never
+match). Payloads ride as JSON strings so the state schema stays fixed for
+any caller schema; unpack with ``from_json``.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -68,11 +75,13 @@ STATE_SCHEMA = StructType(
         StructField("l_ts", ArrayType(LongType()), True),
         StructField("l_pay", ArrayType(StringType()), True),
         StructField("r_ts", ArrayType(LongType()), True),
+        StructField("r_tb", ArrayType(DoubleType()), True),
         StructField("r_pay", ArrayType(StringType()), True),
     ]
 )
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
 _EMPTY_OBJ = np.empty(0, dtype=object)
 
 
@@ -86,11 +95,14 @@ def _asof_fn(horizon_us: int):
             l_ts = np.asarray(s[0], dtype=np.int64)
             l_pay = np.asarray(s[1], dtype=object)
             r_ts = np.asarray(s[2], dtype=np.int64)
-            r_pay = np.asarray(s[3], dtype=object)
+            r_tb = np.asarray(s[3], dtype=np.float64)
+            r_pay = np.asarray(s[4], dtype=object)
         else:
             l_ts, r_ts = _EMPTY_I64, _EMPTY_I64
+            r_tb = _EMPTY_F64
             l_pay = r_pay = _EMPTY_OBJ
 
+        new_rights = False
         if not state.hasTimedOut:
             chunks = list(pdfs)
             batch = (
@@ -100,18 +112,22 @@ def _asof_fn(horizon_us: int):
             )
             ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
             side = batch["side"].to_numpy(dtype=object)
+            tb = batch["tiebreak"].to_numpy(dtype=np.float64)
             pay = batch["payload"].to_numpy(dtype=object)
             is_l = side == "L"
             l_ts = np.concatenate([l_ts, ts[is_l]])
             l_pay = np.concatenate([l_pay, pay[is_l]])
-            r_ts = np.concatenate([r_ts, ts[~is_l]])
-            r_pay = np.concatenate([r_pay, pay[~is_l]])
+            if (~is_l).any():
+                new_rights = True
+                r_ts = np.concatenate([r_ts, ts[~is_l]])
+                r_tb = np.concatenate([r_tb, tb[~is_l]])
+                r_pay = np.concatenate([r_pay, pay[~is_l]])
 
-        # keep right buffer sorted by (ts, payload) — payload desc would
-        # need a reverse pass; sort asc and pick the LAST candidate, then
-        # resolve ties by max payload among equal-ts candidates
-        order = np.lexsort((r_pay.astype(str), r_ts))
-        r_ts, r_pay = r_ts[order], r_pay[order]
+        # rights stay sorted by (ts, tiebreak) across invocations — state
+        # was persisted sorted, so only re-sort when this batch added any
+        if new_rights:
+            order = np.lexsort((r_tb, r_ts))
+            r_ts, r_tb, r_pay = r_ts[order], r_tb[order], r_pay[order]
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         emit = l_ts < wm_us  # final: no right <= l_ts can still arrive
@@ -126,14 +142,11 @@ def _asof_fn(horizon_us: int):
                 hi = int(np.searchsorted(r_ts, lt, side="right"))
                 lo = int(np.searchsorted(r_ts, lt - horizon_us, side="left"))
                 if hi > lo:
-                    cand_ts = r_ts[lo:hi]
-                    best_ts = cand_ts[-1]
-                    tlo = int(np.searchsorted(cand_ts, best_ts, side="left"))
-                    # equal-ts ties: max payload string (tiebreaker-first
-                    # payload struct makes this the batch operator's rule)
-                    block = r_pay[lo:hi][tlo:]
-                    m_ts[i] = float(best_ts)
-                    m_pay[i] = max(block.astype(str))
+                    # buffer sorted (ts asc, tiebreak asc): the LAST
+                    # candidate is the latest ts with the max tiebreaker —
+                    # the batch tiebreakers-descending rule
+                    m_ts[i] = float(r_ts[hi - 1])
+                    m_pay[i] = r_pay[hi - 1]
                 else:
                     m_pay[i] = None
             out = pd.DataFrame(
@@ -151,20 +164,27 @@ def _asof_fn(horizon_us: int):
         # (pending lefts all have ts >= wm)
         if wm_us > 0 and len(r_ts):
             keep = r_ts >= wm_us - horizon_us
-            r_ts, r_pay = r_ts[keep], r_pay[keep]
+            r_ts, r_tb, r_pay = r_ts[keep], r_tb[keep], r_pay[keep]
 
         if len(l_ts) == 0 and len(r_ts) == 0:
             state.remove()
         else:
             state.update(
-                (l_ts.tolist(), l_pay.tolist(), r_ts.tolist(), r_pay.tolist())
+                (l_ts.tolist(), l_pay.tolist(), r_ts.tolist(),
+                 r_tb.tolist(), r_pay.tolist())
             )
+            # ALWAYS re-arm the timer (EventTimeTimeout registrations do
+            # not persist): wake when the watermark passes the oldest
+            # pending left (emission), else when the oldest right ages out
+            # of the horizon (reaping) — so right-only keys are cleaned up
+            # instead of holding state forever
             if len(l_ts):
-                # wake when the watermark passes the oldest pending left
                 wake_ms = int(l_ts.min()) // 1000 + 1
-                state.setTimeoutTimestamp(
-                    max(wake_ms, state.getCurrentWatermarkMs() + 1)
-                )
+            else:
+                wake_ms = (int(r_ts.min()) + horizon_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(wake_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
         if out is not None:
             yield out
@@ -182,31 +202,39 @@ def as_of_stream_join(
     watermark_delay: timedelta = timedelta(seconds=30),
     left_payload: Sequence[str] = (),
     right_payload: Sequence[str] = (),
+    right_tiebreaker: str | None = None,
 ) -> DataFrame:
     """Streaming as-of join (see module docstring).
 
     ``left_payload`` / ``right_payload``: columns packed into the json
-    payloads (put the tiebreaker column FIRST in right_payload — equal-ts
-    ties resolve by payload string descending, matching the batch
-    operator's tiebreakers-descending rule for a single tiebreaker).
-    Output: (key, left_ts, left_json, right_ts, right_json); unpack with
-    ``from_json``. Both inputs must share the key columns.
+    payloads. ``right_tiebreaker``: numeric column resolving equal-ts
+    ties DESCENDING (the batch ``as_of_join(tiebreakers=[col])`` rule;
+    exact for |v| < 2^53). Output: (key, left_ts, left_json, right_ts,
+    right_json); unpack with ``from_json``. Rows with NULL in any key
+    column are filtered (equi-join semantics). Unmatched lefts emit with
+    null right columns (left-outer).
     """
     if not keys:
         raise ValueError("as_of_stream_join requires at least one key column")
     wm = interval_str(watermark_delay)
 
-    def pack(df: DataFrame, side: str, ts_col: str, payload: Sequence[str]):
-        return df.select(
-            F.concat_ws("\x1f", *[F.col(k) for k in keys]).alias("key"),
+    def pack(df: DataFrame, side: str, ts_col: str, payload: Sequence[str],
+             tb: str | None):
+        notnull = None
+        for kcol in keys:
+            c = F.col(kcol).isNotNull()
+            notnull = c if notnull is None else (notnull & c)
+        return df.filter(notnull).select(
+            F.to_json(F.struct(*[F.col(kcol) for kcol in keys])).alias("key"),
             F.lit(side).alias("side"),
             F.col(ts_col).alias("ts"),
+            (F.col(tb).cast("double") if tb else F.lit(0.0)).alias("tiebreak"),
             F.to_json(F.struct(*[F.col(c) for c in payload])).alias("payload"),
         )
 
     unioned = (
-        pack(left, "L", left_ts, left_payload)
-        .unionByName(pack(right, "R", right_ts, right_payload))
+        pack(left, "L", left_ts, left_payload, None)
+        .unionByName(pack(right, "R", right_ts, right_payload, right_tiebreaker))
         .withWatermark("ts", wm)
     )
     horizon_us = round(horizon.total_seconds() * 1e6)

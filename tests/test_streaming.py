@@ -1103,6 +1103,7 @@ class TestAsOfStreamJoin:
                 keys=["user"], horizon=timedelta(seconds=20),
                 watermark_delay=timedelta(seconds=2),
                 left_payload=["pid"], right_payload=["cid"],
+                right_tiebreaker="cid",
             )
             run_to_sink(res, sink, ckpt, query_name="asofstream")
 
@@ -1141,8 +1142,8 @@ class TestAsOfStreamJoin:
     def test_randomized_parity_with_batch(self, spark, tmp_path):
         """200 seeded random events over 10 keys with heavy ts ties, pushed
         in 3 ts-ordered batches: the streamed output must equal the batch
-        as_of_join row set exactly (single-digit tiebreakers keep the
-        lexicographic payload tie rule == numeric-desc)."""
+        as_of_join row set exactly, multi-digit tiebreakers included
+        (numeric-descending tie rule)."""
         import json
 
         import numpy as np
@@ -1161,7 +1162,7 @@ class TestAsOfStreamJoin:
         })
         rrows = pd.DataFrame({
             "user": [f"u{rng.integers(0, 10)}" for _ in range(n_r)],
-            "cid": [int(rng.integers(0, 10)) for _ in range(n_r)],  # 1 digit
+            "cid": [int(rng.integers(0, 1000)) for _ in range(n_r)],
             "ts": [T0 + int(rng.integers(0, 60)) * SEC for _ in range(n_r)],
         })
         closer = pd.DataFrame(
@@ -1181,6 +1182,7 @@ class TestAsOfStreamJoin:
                 keys=["user"], horizon=timedelta(seconds=15),
                 watermark_delay=timedelta(seconds=0),
                 left_payload=["pid"], right_payload=["cid"],
+                right_tiebreaker="cid",
             )
             run_to_sink(res, sink, ckpt, query_name="rasof")
 
@@ -1220,3 +1222,55 @@ class TestAsOfStreamJoin:
             for pid in lrows.pid
         )
         assert stream_rows == batch_rows
+
+    def test_right_only_keys_are_reaped(self, spark, tmp_path):
+        """A key that only ever receives RIGHT rows must not hold state
+        forever: the always-re-armed timer reaps its buffer once the
+        watermark passes oldest_right + horizon (code-review r03)."""
+        from real_time_sliding_window_spark.streaming.asof import (
+            as_of_stream_join,
+        )
+
+        l_schema = "user string, pid long, ts timestamp"
+        r_schema = "user string, cid long, ts timestamp"
+        lfeed = FileFeed(spark, str(tmp_path / "reap_l"))
+        rfeed = FileFeed(spark, str(tmp_path / "reap_r"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "reap_out"))
+        ckpt = str(tmp_path / "reap_ckpt")
+
+        def run():
+            res = as_of_stream_join(
+                lfeed.stream(l_schema), rfeed.stream(r_schema),
+                keys=["user"], horizon=timedelta(seconds=10),
+                watermark_delay=timedelta(seconds=0),
+                left_payload=["pid"], right_payload=["cid"],
+                right_tiebreaker="cid",
+            )
+            q = res.writeStream.foreachBatch(sink.foreach_batch()) \
+                .outputMode("append").option("checkpointLocation", ckpt) \
+                .trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+
+        # uA: rights only; uZ: one left that will emit
+        rfeed.push(spark.createDataFrame(
+            pd.DataFrame({"user": ["uA", "uA"], "cid": [1, 2],
+                          "ts": [T0, T0 + 2 * SEC]}), schema=r_schema))
+        lfeed.push(spark.createDataFrame(
+            pd.DataFrame({"user": ["uZ"], "pid": [1], "ts": [T0 + 5 * SEC]}),
+            schema=l_schema))
+        run()
+        # watermark far past uA's rights + horizon AND uZ's left
+        lfeed.push(spark.createDataFrame(
+            pd.DataFrame({"user": ["zz"], "pid": [9], "ts": [T0 + 300 * SEC]}),
+            schema=l_schema))
+        run()
+        # one more empty-ish advance so timers fire with the new watermark
+        lfeed.push(spark.createDataFrame(
+            pd.DataFrame({"user": ["zz2"], "pid": [10],
+                          "ts": [T0 + 600 * SEC]}), schema=l_schema))
+        q = run()
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # only the final closer key may still be pending; uA (right-only)
+        # and uZ (emitted) must be gone
+        assert n_state <= 1, f"state not reaped: {n_state} keys remain"
