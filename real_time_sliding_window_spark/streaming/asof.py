@@ -192,6 +192,25 @@ def _asof_fn(horizon_us: int):
     return fn
 
 
+def unpack_asof(
+    joined: DataFrame,
+    keys_schema: str,
+    left_schema: str,
+    right_schema: str,
+) -> DataFrame:
+    """Unpack the as-of output back to typed columns: the key struct and
+    both payload structs via ``from_json`` (schemas as DDL strings, e.g.
+    ``"user string"`` / ``"pid long"`` / ``"cid long"``). Right columns
+    stay null for unmatched lefts."""
+    return joined.select(
+        F.from_json("key", keys_schema).alias("__k"),
+        "left_ts",
+        F.from_json("left_json", left_schema).alias("__l"),
+        "right_ts",
+        F.from_json("right_json", right_schema).alias("__r"),
+    ).select("__k.*", "left_ts", "__l.*", "right_ts", "__r.*")
+
+
 def as_of_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -1114,8 +1114,16 @@ class TestAsOfStreamJoin:
         lfeed.push(spark.createDataFrame(closer_l, schema=l_schema))
         run()
 
+        from real_time_sliding_window_spark.streaming.asof import unpack_asof
+
+        typed = unpack_asof(
+            sink.read_committed(spark), "user string", "pid long", "cid long"
+        ).toPandas()
+        typed = typed[typed.user != "zz"]
+        assert list(typed.columns) == ["user", "left_ts", "pid",
+                                       "right_ts", "cid"]
         got = sink.read_committed(spark).toPandas()
-        got = got[got.key != "zz"]
+        got = got[~got.key.str.contains("zz")]
         pid = got.left_json.map(lambda s: json.loads(s)["pid"])
         cid = got.right_json.map(
             lambda s: json.loads(s)["cid"] if isinstance(s, str) else None
