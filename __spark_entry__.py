@@ -784,6 +784,35 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-aggregate semi-join: suppliers that shipped
+    more than 15% of some part's total shipped quantity. Two aggregation
+    levels — per (supplier, part) and per part — joined, thresholded in
+    EXACT integers (sq_sp · 100 > 15 · sq_p, no float ratio), then a
+    semi-join onto supplier. Plan: both aggs are partial+final over one
+    lineitem scan branch each; the supplier join is a broadcast (dim)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("sq_sp")
+    )
+    p = li.groupBy("l_partkey").agg(F.sum("qty").alias("sq_p"))
+    bulk = (
+        sp.join(p, "l_partkey")
+        .filter(F.col("sq_sp") * 100 > F.col("sq_p") * 15)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return supp.join(
+        bulk, supp["s_suppkey"] == bulk["l_suppkey"], "left_semi"
+    )
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates: duplicate-word fraction and
     top-bigram fraction per document (zero-shuffle sorted-run-length plan;
@@ -1296,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
         "small_qty_revenue": q_small_qty_revenue,
+        "bulk_suppliers": q_bulk_suppliers,
     }
 
 
@@ -1966,6 +1996,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
               AND li.qty * 5 * s.cnt < s.sum_qty
             GROUP BY 1
+        """,
+        "bulk_suppliers": """
+            WITH li AS (
+                SELECT l_suppkey, l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty
+                FROM lineitem
+            ),
+            sp AS (
+                SELECT l_suppkey, l_partkey, CAST(sum(qty) AS BIGINT) AS sq_sp
+                FROM li GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq_p
+                FROM li GROUP BY 1
+            ),
+            bulk AS (
+                SELECT DISTINCT sp.l_suppkey
+                FROM sp JOIN p USING (l_partkey)
+                WHERE sp.sq_sp * 100 > p.sq_p * 15
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (SELECT l_suppkey FROM bulk)
         """,
         # exact unnest+group-by twin of the zero-shuffle sorted-run plan:
         # max multiplicity of a bigram == longest equal run after sorting

@@ -57,6 +57,7 @@ BATCH_QUERIES = [
     "repetition_docs",
     "tfidf_search_docs",
     "small_qty_revenue",
+    "bulk_suppliers",
     "quality_docs",
     "decontaminate_docs",
     "chunk_docs",
