@@ -49,3 +49,46 @@ def join_shuffle_count(joined: DataFrame) -> int:
     """Number of Exchange operators in the executed plan — the metric the
     bucketed layout is designed to drive to (almost) zero."""
     return joined._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    granularity: str = "day",
+    mode: str = "overwrite",
+) -> None:
+    """Persist df partitioned by a derived date column — the time-series
+    layout every windowed/as-of/retention query wants at 100 TB.
+
+    A query with a ``ts`` range predicate then PRUNES whole partition
+    directories before any IO (PartitionFilters in the scan node — pinned
+    by ``tests/test_plans.py::test_time_partition_pruning``): a one-day
+    window over a year of data reads 1/365th of the files, which no
+    row-group statistic can guarantee. This is the parquet twin of
+    Iceberg's hidden ``days(ts)`` transform partitioning
+    (streaming/iceberg.py gets it declaratively).
+
+    ``granularity``: 'day' | 'month' | 'hour'. The derived ``__pdate``
+    string column survives in the data (readers may drop it); the original
+    ``ts`` column is untouched, so query predicates stay on event time and
+    Spark maps them onto partition values automatically when filtering on
+    ``__pdate`` — include BOTH predicates (coarse __pdate + exact ts) in a
+    range query for pruning plus row-level exactness.
+    """
+    from pyspark.sql import functions as F
+
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "hour": "yyyy-MM-dd-HH"}
+    if granularity not in fmt:
+        raise ValueError(f"granularity must be one of {sorted(fmt)}")
+    out = df.withColumn("__pdate", F.date_format(F.col(ts_col), fmt[granularity]))
+    out.write.mode(mode).partitionBy("__pdate").parquet(path)
+
+
+def partition_filters(scanned: DataFrame) -> str:
+    """The PartitionFilters fragment of the scan node, for pruning audits."""
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            return line.strip()
+    return ""
