@@ -784,6 +784,39 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic: seconds since the user's previous event (NULL for the
+    first), plus a gap histogram bucket — the offset window function family
+    (lag/lead) the rollups and RANGE frames don't cover. Exact integer
+    seconds keep the oracle hash-stable; ordering ties broken by event_id
+    (deterministic frame order on both engines)."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir)
+    w = SqlWindow.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    ).cast("long")
+    out = ev.select(
+        "user_id", "event_id",
+        gap.alias("gap_sec"),
+    )
+    bucket = (
+        F.when(F.col("gap_sec").isNull(), F.lit("first"))
+        .when(F.col("gap_sec") <= 60, F.lit("le_1m"))
+        .when(F.col("gap_sec") <= 3600, F.lit("le_1h"))
+        .otherwise(F.lit("gt_1h"))
+    )
+    return (
+        out.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_sec").alias("sum_gap_sec"),
+        )
+    )
+
+
 def q_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style nested-aggregate semi-join: suppliers that shipped
     more than 15% of some part's total shipped quantity. Two aggregation
@@ -1326,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search_docs": q_tfidf_search_docs,
         "small_qty_revenue": q_small_qty_revenue,
         "bulk_suppliers": q_bulk_suppliers,
+        "event_gaps": q_event_gaps,
     }
 
 
@@ -1995,6 +2029,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN stats s ON li.l_partkey = s.l_partkey
             WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
               AND li.qty * 5 * s.cnt < s.sum_qty
+            GROUP BY 1
+        """,
+        "event_gaps": """
+            WITH g AS (
+                -- floor() both epochs BEFORE differencing: Spark's
+                -- unix_timestamp truncates to whole seconds, DuckDB's
+                -- epoch() keeps the fraction
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ))) AS BIGINT) AS gap_sec
+                FROM events
+            )
+            SELECT CASE WHEN gap_sec IS NULL THEN 'first'
+                        WHEN gap_sec <= 60 THEN 'le_1m'
+                        WHEN gap_sec <= 3600 THEN 'le_1h'
+                        ELSE 'gt_1h' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(gap_sec) AS BIGINT) AS sum_gap_sec
+            FROM g
             GROUP BY 1
         """,
         "bulk_suppliers": """
