@@ -92,3 +92,33 @@ def partition_filters(scanned: DataFrame) -> str:
         if "PartitionFilters" in line:
             return line.strip()
     return ""
+
+
+def drop_expired_partitions(
+    path: str, before: str, dry_run: bool = False
+) -> list[str]:
+    """Retention on a time-partitioned table (``write_time_partitioned``):
+    remove whole ``__pdate=<v>`` partition directories with v < ``before``
+    (string compare — the layout's formats are lexicographically ordered).
+
+    This is how retention works at 100 TB: dropping a directory is O(1)
+    metadata, row-level deletes are a full rewrite. The string comparison
+    means ``before`` must use the SAME granularity format the table was
+    written with ('2024-01-03', '2024-01', '2024-01-03-06'). Readers see
+    partition disappearance atomically per directory (the parquet twin of
+    Iceberg's ``expire_snapshots`` + partition drop). Returns the dropped
+    partition values; ``dry_run`` lists without removing.
+    """
+    import os
+    import shutil
+
+    dropped = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("__pdate="):
+            continue
+        value = name.split("=", 1)[1]
+        if value < before:
+            dropped.append(value)
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, name))
+    return dropped

@@ -144,3 +144,28 @@ def test_time_partition_pruning(spark, tmp_path):
     # and the data is intact for that day
     expect = ev.filter(_F.date_format("ts", "yyyy-MM-dd") == "2024-01-03").count()
     assert one_day.count() == expect
+
+
+def test_retention_drops_only_expired_partitions(spark, tmp_path):
+    """Retention = O(1) partition-directory drops on the time-partitioned
+    layout; surviving data is bit-identical to a row-level filter."""
+    from real_time_sliding_window_spark.storage import (
+        drop_expired_partitions,
+        write_time_partitioned,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev_ret")
+    write_time_partitioned(ev, path, ts_col="ts", granularity="day")
+
+    preview = drop_expired_partitions(path, "2024-01-04", dry_run=True)
+    assert preview and all(v < "2024-01-04" for v in preview)
+    dropped = drop_expired_partitions(path, "2024-01-04")
+    assert dropped == preview
+
+    import pyspark.sql.functions as _F
+
+    kept = spark.read.parquet(path)
+    expect = ev.filter(_F.date_format("ts", "yyyy-MM-dd") >= "2024-01-04")
+    assert kept.count() == expect.count()
+    assert kept.select(_F.min("ts")).first()[0] >= expect.select(_F.min("ts")).first()[0]
