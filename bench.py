@@ -58,6 +58,7 @@ BATCH_QUERIES = [
     "tfidf_search_docs",
     "small_qty_revenue",
     "bulk_suppliers",
+    "event_gaps",
     "quality_docs",
     "decontaminate_docs",
     "chunk_docs",
