@@ -111,10 +111,20 @@ def as_of_join(
             return _contains_map(dt.elementType)
         return False
 
-    hash_cols = [
-        F.to_json(F.col(f.name)) if _contains_map(f.dataType) else F.col(f.name)
-        for f in left.schema.fields
-    ]
+    # xxhash64 SKIPS null inputs (the running hash is unchanged by a null
+    # column), so null-permutations of each other — (NULL,'a') vs
+    # ('a',NULL) — would collide with probability 1 and the rn
+    # disambiguator would permute NON-identical rows under retry (ADVICE
+    # r03). Interleave a null-indicator per column so only byte-identical
+    # rows (same values AND same null pattern) can share __lh.
+    hash_cols = []
+    for f in left.schema.fields:
+        hash_cols.append(F.isnull(F.col(f.name)))
+        hash_cols.append(
+            F.to_json(F.col(f.name))
+            if _contains_map(f.dataType)
+            else F.col(f.name)
+        )
     tagged = left.withColumn(
         "__lh", F.xxhash64(*hash_cols)
     ).withColumn(

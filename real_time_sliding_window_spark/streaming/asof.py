@@ -112,7 +112,14 @@ def _asof_fn(horizon_us: int):
             )
             ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
             side = batch["side"].to_numpy(dtype=object)
-            tb = batch["tiebreak"].to_numpy(dtype=np.float64)
+            # A NULL tiebreaker arrives as NaN, and np.lexsort sorts NaN
+            # LAST — a null would beat every numeric tiebreaker at equal
+            # ts. The batch as_of_join orders tiebreakers .desc() (nulls
+            # last = weakest), so map NaN -> -inf: null ties LOSE, both
+            # engines agree (ADVICE r03).
+            tb = np.nan_to_num(
+                batch["tiebreak"].to_numpy(dtype=np.float64), nan=-np.inf
+            )
             pay = batch["payload"].to_numpy(dtype=object)
             is_l = side == "L"
             l_ts = np.concatenate([l_ts, ts[is_l]])

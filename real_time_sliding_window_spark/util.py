@@ -50,6 +50,17 @@ def ensure_parallelism(
 
     ``is_small`` short-circuits everything when the call site already
     knows (True = always repartition, False = pass through).
+
+    Estimate-small inputs are NORMALIZED to exactly ``target`` partitions
+    (round-robin), intentionally — including inputs that already have >=
+    target partitions (ADVICE r03). Rationale: proving "already parallel
+    enough" needs the very plan→RDD translation tier 1 exists to avoid,
+    the normalize shuffle moves < target × maxPartitionBytes by the
+    definition of "small" so it is bounded-cheap, and it also REPAIRS
+    over-partitioned small frames (a 1000-partition 5 MB checkpoint
+    residue becomes 32 right-sized tasks instead of 1000 empty-ish ones).
+    Callers on a hot loop that know their frame is already parallel pass
+    ``is_small=False``.
     """
     if df.isStreaming:
         # no stats/rdd on streaming plans; micro-batch partitioning comes

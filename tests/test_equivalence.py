@@ -222,3 +222,33 @@ def test_asof_union_equals_interval_random(spark, lefts, rights):
         ).toPandas()
         assert sorted(a.columns) == sorted(b.columns)
         assert key(a) == key(b)
+
+
+def test_asof_null_permutation_lefts_distinct_ids(spark):
+    """ADVICE r03: xxhash64 skips null inputs, so left rows that are
+    null-permutations of each other — (NULL,'x') vs ('x',NULL) — hashed
+    identically and the rn disambiguator permuted NON-identical rows
+    under stage retry. With null indicators interleaved into the hash,
+    both rows flow through as_of_join, each exactly once, with the
+    correct per-row match."""
+    ldf = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1"],
+        "a": [None, "x"],
+        "b": ["x", None],
+        "ts": [T0 + timedelta(seconds=5), T0 + timedelta(seconds=9)],
+    }))
+    rdf = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1"],
+        "rid": [1, 2],
+        "ts": [T0 + timedelta(seconds=4), T0 + timedelta(seconds=8)],
+    }))
+    out = as_of_join(
+        ldf, rdf, keys=["user"], left_ts="ts", right_ts="ts",
+        tiebreakers=["rid"],
+    ).toPandas()
+    assert len(out) == 2
+    match = {
+        (row.l_a, row.l_b): row.r_rid for row in out.itertuples()
+    }
+    assert match[(None, "x")] == 1  # ts=5 -> latest right at ts=4
+    assert match[("x", None)] == 2  # ts=9 -> latest right at ts=8

@@ -1282,3 +1282,66 @@ class TestAsOfStreamJoin:
         # only the final closer key may still be pending; uA (right-only)
         # and uZ (emitted) must be gone
         assert n_state <= 1, f"state not reaped: {n_state} keys remain"
+
+    def test_null_tiebreaker_loses_ties_matching_batch(self, spark, tmp_path):
+        """ADVICE r03: a NULL right_tiebreaker became NaN in the float64
+        tiebreak array, and np.lexsort sorts NaN LAST — the null right
+        used to WIN ties at equal ts. The batch rule is desc-nulls-last
+        (null = weakest), so both rights at ts=7 must resolve to the
+        numeric cid, not the null one."""
+        import json
+
+        from real_time_sliding_window_spark.operators.joins import as_of_join
+        from real_time_sliding_window_spark.streaming.asof import (
+            as_of_stream_join,
+        )
+
+        l_schema = "user string, pid long, ts timestamp"
+        r_schema = "user string, cid long, tb double, ts timestamp"
+        lrows = pd.DataFrame({
+            "user": ["u1"], "pid": [100], "ts": [T0 + 10 * SEC],
+        })
+        # two rights at the SAME ts: tb NULL vs tb 5.0 — 5.0 must win
+        rrows = pd.DataFrame({
+            "user": ["u1", "u1"],
+            "cid": [1, 2],
+            "tb": [None, 5.0],
+            "ts": [T0 + 7 * SEC, T0 + 7 * SEC],
+        })
+        closer = pd.DataFrame(
+            {"user": ["zz"], "pid": [999], "ts": [T0 + 120 * SEC]}
+        )
+
+        lfeed = FileFeed(spark, str(tmp_path / "ntb_l"))
+        rfeed = FileFeed(spark, str(tmp_path / "ntb_r"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "ntb_out"))
+        ckpt = str(tmp_path / "ntb_ckpt")
+
+        def run():
+            res = as_of_stream_join(
+                lfeed.stream(l_schema), rfeed.stream(r_schema),
+                keys=["user"], horizon=timedelta(seconds=20),
+                watermark_delay=timedelta(seconds=0),
+                left_payload=["pid"], right_payload=["cid"],
+                right_tiebreaker="tb",
+            )
+            run_to_sink(res, sink, ckpt, query_name="ntbasof")
+
+        rfeed.push(spark.createDataFrame(rrows, schema=r_schema))
+        lfeed.push(spark.createDataFrame(lrows, schema=l_schema))
+        run()
+        lfeed.push(spark.createDataFrame(closer, schema=l_schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[~got.key.str.contains("zz")]
+        assert len(got) == 1
+        assert json.loads(got.right_json.iloc[0])["cid"] == 2
+
+        batch = as_of_join(
+            spark.createDataFrame(lrows, schema=l_schema),
+            spark.createDataFrame(rrows, schema=r_schema),
+            keys=["user"], left_ts="ts", right_ts="ts",
+            horizon=timedelta(seconds=20), tiebreakers=["tb"],
+        ).toPandas()
+        assert int(batch.r_cid.iloc[0]) == 2
