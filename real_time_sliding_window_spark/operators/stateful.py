@@ -85,16 +85,44 @@ _EMPTY_I32 = np.empty(0, dtype=np.int32)
 _EMPTY_OBJ = np.empty(0, dtype=object)
 
 
-def make_ring_buffer_fn(max_duration: timedelta | None, max_data: int | None):
+def make_ring_buffer_fn(
+    max_duration: timedelta | None,
+    max_data: int | None,
+    session_gap: timedelta | None = None,
+):
     """Build the applyInPandasWithState body (a closure over the spec).
 
     The body is pure numpy array algebra — no per-row Python and, just as
     important at 10^4-10^5 groups per micro-batch, no pandas DataFrame
     construction per group except the single output frame: with many small
     conversation groups the per-group constant factor IS the throughput.
+
+    ``session_gap`` (VERDICT r03 #4) adds the one window kind the stateful
+    op didn't speak: per-conversation SESSION-CLOSE semantics matching
+    ``operators/windows.session_agg`` exactly — a turn joins the open
+    session while ``ts <= prev_ts + gap`` (inclusive merge), the session
+    closes once the WATERMARK passes ``last_ts + gap`` (so an in-delay
+    late turn can still bridge two would-be sessions, just like the
+    session_window agg), and closing emits every member turn as
+    ``EVICT``/reason ``session`` followed by ONE ``SESSION_END`` marker
+    row (``ts`` = session end = last_ts + gap, ``buffer_size`` = member
+    count, null turn columns) — the reference's callback surface
+    (GenericSubject.kt:37-41) for gap-closed conversations. An
+    EventTimeTimeout timer wakes the key at the open session's
+    ``last_ts + gap`` so closure fires even when no new turn ever
+    arrives; the timer is RE-ARMED on every keep-state invocation
+    (EventTimeTimeout registrations do not persist across invocations).
+    Composes with maxDuration / maxData, which keep evicting inside the
+    open session (eviction order per invocation: session close, then
+    age, then capacity).
     """
     max_dur_us = (
         round(max_duration.total_seconds() * 1e6) if max_duration is not None else None
+    )
+    gap_us = (
+        round(session_gap.total_seconds() * 1e6)
+        if session_gap is not None
+        else None
     )
 
     def fn(
@@ -156,8 +184,50 @@ def make_ring_buffer_fn(max_duration: timedelta | None, max_data: int | None):
                     ("ADD", None, f_ts, f_ti, f_role, f_text, f_tool, len(b_ts))
                 )
 
-        # --- age eviction: cutoff = watermark − max_duration -------------
         wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # --- session close: watermark passed last_ts + gap ---------------
+        if gap_us is not None and wm_us > 0 and len(b_ts):
+            # session end indices on the (ts, turn_idx)-sorted buffer:
+            # a new session starts where the inter-turn gap EXCEEDS the
+            # session gap (inclusive merge, matching session_agg)
+            bounds = np.flatnonzero(np.diff(b_ts) > gap_us)
+            ends = np.append(bounds, len(b_ts) - 1)
+            # sessions close in ts order, so closed is a prefix: every
+            # session whose end (last_ts + gap) is STRICTLY below the
+            # watermark is final — merge is inclusive (a turn at exactly
+            # last_ts + gap extends the session) and rows with ts >= wm
+            # are still admissible, so wm == end is not yet closeable
+            n_closed = int(
+                np.searchsorted(b_ts[ends] + gap_us, wm_us, side="left")
+            )
+            if n_closed:
+                starts = np.concatenate(([0], ends[:-1] + 1))
+                cut = int(ends[n_closed - 1]) + 1
+                remaining = len(b_ts) - cut
+                for si in range(n_closed):
+                    lo, hi = int(starts[si]), int(ends[si]) + 1
+                    parts.append(
+                        ("EVICT", "session", b_ts[lo:hi], b_ti[lo:hi],
+                         b_role[lo:hi], b_text[lo:hi], b_tool[lo:hi],
+                         remaining)
+                    )
+                    parts.append(
+                        ("SESSION_END", None,
+                         np.array([int(b_ts[hi - 1]) + gap_us],
+                                  dtype=np.int64),
+                         np.array([None], dtype=object),
+                         np.array([None], dtype=object),
+                         np.array([None], dtype=object),
+                         np.array([None], dtype=object),
+                         hi - lo)
+                    )
+                b_ts, b_ti = b_ts[cut:], b_ti[cut:]
+                b_role, b_text, b_tool = (
+                    b_role[cut:], b_text[cut:], b_tool[cut:]
+                )
+
+        # --- age eviction: cutoff = watermark − max_duration -------------
         if max_dur_us is not None and wm_us > 0 and len(b_ts):
             cutoff = wm_us - max_dur_us
             n_aged = int(np.searchsorted(b_ts, cutoff, side="left"))
@@ -189,10 +259,22 @@ def make_ring_buffer_fn(max_duration: timedelta | None, max_data: int | None):
                 (b_ts.tolist(), b_ti.tolist(), b_role.tolist(),
                  b_text.tolist(), b_tool.tolist())
             )
+            # earliest pending wake: age expiry of the oldest row and/or
+            # the open session's close boundary (must be > watermark)
+            wakes_us = []
             if max_dur_us is not None:
-                # wake when the oldest row expires (must be > watermark)
-                expire_ms = (int(b_ts[0]) + max_dur_us) // 1000
-                state.setTimeoutTimestamp(max(expire_ms, state.getCurrentWatermarkMs() + 1))
+                wakes_us.append(int(b_ts[0]) + max_dur_us)
+            if gap_us is not None:
+                # FIRST unclosed session's end on the post-eviction buffer
+                nb = np.flatnonzero(np.diff(b_ts) > gap_us)
+                wakes_us.append(
+                    int(b_ts[nb[0]] if len(nb) else b_ts[-1]) + gap_us
+                )
+            if wakes_us:
+                state.setTimeoutTimestamp(
+                    max(min(wakes_us) // 1000,
+                        state.getCurrentWatermarkMs() + 1)
+                )
 
         if parts:
             n_out = sum(len(p[2]) for p in parts)
@@ -230,25 +312,29 @@ def ring_buffer_stream(
     watermark_delay: timedelta,
     max_duration: timedelta | None = None,
     max_data: int | None = None,
+    session_gap: timedelta | None = None,
 ) -> DataFrame:
     """Wire the stateful ring buffer onto a (streaming) transcript DataFrame.
 
     One shuffle (groupBy conv_id) feeds the stateful operator; watermark
-    drives both age eviction and the event-time timeout. For skewed
-    conv_ids see operators/skew.py (stateful-op skew is not fixed by AQE —
-    SURVEY.md §4.3).
+    drives age eviction, session close (``session_gap`` — see
+    make_ring_buffer_fn) and the event-time timeout. For skewed conv_ids
+    see operators/skew.py (stateful-op skew is not fixed by AQE —
+    SURVEY.md §4.3). Session-gap mode requires the unsharded operator:
+    per-shard gap computation would see a subsample of the conversation
+    and split sessions a full view would merge.
     """
     from real_time_sliding_window_spark.config import interval_str
 
     wm = transcripts.withWatermark("ts", interval_str(watermark_delay))
-    fn = make_ring_buffer_fn(max_duration, max_data)
+    fn = make_ring_buffer_fn(max_duration, max_data, session_gap)
     return wm.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout
-        if max_duration is not None
+        if max_duration is not None or session_gap is not None
         else GroupStateTimeout.NoTimeout,
     )
 

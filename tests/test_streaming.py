@@ -283,6 +283,106 @@ class TestRingBuffer:
         # capacity 2 over 3 same-ts rows: lowest turn_idx evicted first
         assert list(ev.turn_idx) == [0]
 
+    def test_session_close_matches_session_agg(self, spark, tmp_path):
+        """VERDICT r03 #4: session-gap ring mode — closed-session
+        boundaries (start = min member ts, end = SESSION_END ts, n =
+        SESSION_END buffer_size) must equal operators/windows.session_agg
+        on the same corpus, inclusive-merge boundary included (turn at
+        exactly last_ts + gap extends the session)."""
+        from real_time_sliding_window_spark.operators.windows import (
+            session_agg,
+        )
+
+        gap = timedelta(seconds=5)
+
+        def pipe(stream):
+            return ring_buffer_stream(stream, timedelta(0), session_gap=gap)
+
+        corpus = rows(
+            # c1: session A {0,2,4}, B {20,21}, C {40}
+            ("c1", 0, "user", "a", None, 0),
+            ("c1", 1, "assistant", "b", None, 2),
+            ("c1", 2, "user", "c", None, 4),
+            ("c1", 3, "user", "d", None, 20),
+            ("c1", 4, "assistant", "e", None, 21),
+            ("c1", 5, "user", "f", None, 40),
+            # c2: inclusive boundary — 9 == 4 + gap merges: one session
+            ("c2", 0, "user", "g", None, 4),
+            ("c2", 1, "user", "h", None, 9),
+        )
+        closer = rows(("cadv", 0, "user", "zz", None, 100))
+        _, snaps = drive(spark, tmp_path, pipe, [corpus, closer], "sess")
+        final = snaps[-1]
+        final = final[final.conv_id != "cadv"]
+
+        ends = final[final.action == "SESSION_END"].sort_values("ts")
+        evs = final[final.action == "EVICT"]
+        assert set(evs.reason) == {"session"}
+        # every ADD was eventually session-evicted (wm=100 closes all)
+        assert len(evs) == len(final[final.action == "ADD"]) == 8
+        assert ends.turn_idx.isnull().all()
+
+        got = [
+            (e.conv_id, e.ts, int(e.buffer_size))
+            for _, e in ends.iterrows()
+        ]
+        batch = session_agg(
+            spark.createDataFrame(corpus), "ts", gap, keys=["conv_id"]
+        ).toPandas()
+        want = sorted(
+            (r.conv_id, r.session_end, int(r.n_rows))
+            for r in batch.itertuples()
+        )
+        assert sorted(got) == want
+        # starts: min EVICT ts per (conv, session_end) == batch first_ts
+        start_of = {
+            (r.conv_id, r.session_end): r.first_ts for r in batch.itertuples()
+        }
+        for _, e in ends.iterrows():
+            mem = evs[(evs.conv_id == e.conv_id)
+                      & (evs.ts >= start_of[(e.conv_id, e.ts)])
+                      & (evs.ts <= e.ts - gap)]
+            assert int(e.buffer_size) == len(mem)
+            assert mem.ts.min() == start_of[(e.conv_id, e.ts)]
+
+    def test_session_closes_via_timer_without_new_turns(
+        self, spark, tmp_path
+    ):
+        """A conversation that goes quiet must close via the re-armed
+        EventTimeTimeout when OTHER keys advance the watermark — no new
+        turn for the key ever arrives. Also: no premature close while
+        wm <= session end (a bridging turn can still arrive)."""
+        gap = timedelta(seconds=5)
+
+        def pipe(stream):
+            return ring_buffer_stream(stream, timedelta(0), session_gap=gap)
+
+        first = rows(("c1", 0, "user", "a", None, 0),
+                     ("c1", 1, "user", "b", None, 4))
+        # wm -> 8 < session end (4+5=9): NOT closeable yet
+        # (NB: a row at ts == wm is dropped by Spark's late filter —
+        # equality counts as late — so the bridge must stay > wm)
+        probe = rows(("cx", 0, "user", "p", None, 8))
+        # bridging turn at exactly last_ts + gap merges (inclusive) and
+        # extends the session to 9 + 5 = 14
+        bridge = rows(("c1", 2, "user", "c", None, 9))
+        closer = rows(("cy", 0, "user", "q", None, 60))
+        _, snaps = drive(
+            spark, tmp_path, pipe, [first, probe, bridge, closer], "sesst"
+        )
+        after_probe = snaps[1]
+        assert not (after_probe[after_probe.conv_id == "c1"]
+                    .action == "SESSION_END").any()
+        final = snaps[-1]
+        c1_ends = final[(final.conv_id == "c1")
+                        & (final.action == "SESSION_END")]
+        # ONE session: bridge merged; end = 9s + 5s = 14s; 3 members
+        assert len(c1_ends) == 1
+        assert c1_ends.ts.iloc[0] == T0 + 14 * SEC
+        assert int(c1_ends.buffer_size.iloc[0]) == 3
+        evs = final[(final.conv_id == "c1") & (final.action == "EVICT")]
+        assert len(evs) == 3 and set(evs.reason) == {"session"}
+
 
 # ---------------------------------------------------------------------------
 # Stream-stream join (F7)
