@@ -221,6 +221,54 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
     return results
 
 
+def bench_neardup_guard(spark, sf_dir: str) -> dict:
+    """Per-batch overhead of the streaming near-dup ingest guard
+    (VERDICT r03 #2): the documents table streamed in 4 micro-batches
+    through run_neardup_ingest (simhash fingerprint -> probe the
+    accumulated band index -> reject -> append). docs/sec here is the
+    guard's end-to-end ingest rate INCLUDING index growth across
+    batches — compare with the batch fingerprint pass (simhash_docs in
+    the query suite) for the incremental-vs-batch overhead."""
+    import pyspark.sql.functions as F
+
+    from real_time_sliding_window_spark.streaming.neardup_guard import (
+        run_neardup_ingest,
+    )
+    from real_time_sliding_window_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    src = tempfile.mkdtemp(prefix="rtsw_ndg_src_")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    n_docs = docs.count()
+    idx_root = tempfile.mkdtemp(prefix="rtsw_ndg_idx_")
+    ckpt = tempfile.mkdtemp(prefix="rtsw_ndg_ck_")
+    _CLEANUP_DIRS.extend([src, idx_root, ckpt])
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    idx = ExactlyOnceParquetSink(idx_root, track_lineage=False)
+    t0 = time.monotonic()
+    run_neardup_ingest(stream, idx, ckpt)
+    dt = time.monotonic() - t0
+    n_batches = len(idx.committed_batches())
+    n_accepted = (
+        idx.read_committed(spark).select("doc_id").distinct().count()
+    )
+    return {
+        "neardup_guard_sec": round(dt, 2),
+        "neardup_guard_docs_per_sec": round(n_docs / dt),
+        "neardup_guard_batches": n_batches,
+        "neardup_guard_batch_sec_mean": round(dt / max(n_batches, 1), 2),
+        "neardup_guard_accepted": n_accepted,
+    }
+
+
 def _emit_latency_once(spark, rows_per_second: int, run_secs: int) -> list[float]:
     """One live-trigger run; returns raw per-window emit latencies (sec).
 
@@ -348,6 +396,7 @@ def main() -> None:
     t0 = time.monotonic()
     queries = bench_batch(spark, sf_dir)
     streaming = bench_streaming(spark, n_convs, mean_turns)
+    streaming.update(bench_neardup_guard(spark, sf_dir))
     streaming.update(bench_emit_latency(spark))
     total = round(time.monotonic() - t0, 2)
 

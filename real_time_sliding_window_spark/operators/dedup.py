@@ -492,6 +492,32 @@ def simhash_fingerprints(
     )
 
 
+def simhash_bands(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band rows (doc_id, simhash, band_idx, band_val) from a fingerprint
+    frame (id, simhash): 4 × 15-bit slices — the shared LSH key shape of
+    batch ``simhash_neardup_pairs`` and the streaming ingest guard
+    (streaming/neardup_guard.py), kept in ONE place so both paths bucket
+    identically and an index built by either is queryable by the other."""
+    bb, mask = C.SIMHASH_BAND_BITS, C.SIMHASH_BAND_MASK
+    return fp.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"(shiftright(simhash, {bb * b}) & {mask}L)"
+                        ).alias("band_val"),
+                    )
+                    for b in range(C.SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -530,24 +556,7 @@ def simhash_neardup_pairs(
         .select(id_col, "simhash")
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
-    bb, mask = C.SIMHASH_BAND_BITS, C.SIMHASH_BAND_MASK
-    bands = fp.select(
-        F.col(id_col).alias("doc_id"),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.expr(
-                            f"(shiftright(simhash, {bb * b}) & {mask}L)"
-                        ).alias("band_val"),
-                    )
-                    for b in range(C.SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    bands = simhash_bands(fp, id_col)
     if max_bucket is not None:
         cool = (
             bands.groupBy("band_idx", "band_val")

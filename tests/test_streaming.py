@@ -1163,6 +1163,144 @@ class TestStreamingPostings:
         assert key(from_idx) == key(from_batch)
 
 
+class TestNearDupIngestGuard:
+    """VERDICT r03 #2: streaming near-dup rejection AT INGEST — an
+    accumulating simhash band index through the exactly-once sink."""
+
+    SCHEMA = "doc_id string, text string"
+    UNIQ = {
+        "a": "the quick brown fox jumps over the lazy dog near the river",
+        "b": "spark structured streaming maintains state across micro "
+             "batch boundaries with watermarks",
+        "c": "connected components converge after logarithmically many "
+             "rounds of minimum propagation",
+        "d": "parquet column chunks compress runs of similar values into "
+             "compact dictionary pages",
+    }
+
+    def _run(self, spark, tmp_path, pushes, name, **kw):
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+
+        feed = FileFeed(spark, str(tmp_path / f"{name}_in"))
+        idx = ExactlyOnceParquetSink(str(tmp_path / f"{name}_idx"))
+        acc = ExactlyOnceParquetSink(str(tmp_path / f"{name}_acc"))
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        for push in pushes:
+            feed.push(spark.createDataFrame(push, schema=self.SCHEMA))
+            run_neardup_ingest(
+                feed.stream(self.SCHEMA), idx, ckpt, accept_sink=acc, **kw
+            )
+        return feed, idx, acc, ckpt
+
+    def test_single_batch_equals_batch_survivors(self, spark, tmp_path):
+        """Whole corpus in ONE batch == batch simhash pairs -> CC ->
+        min-id survivors (the guard's stated equivalence)."""
+        from real_time_sliding_window_spark.operators.dedup import (
+            connected_components,
+            simhash_neardup_pairs,
+        )
+
+        U = self.UNIQ
+        corpus = pd.DataFrame({
+            "doc_id": ["d0", "d1", "d2", "d3", "d4"],
+            "text": [U["a"], U["a"], U["b"], U["b"], U["c"]],
+        })
+        _, idx, acc, _ = self._run(spark, tmp_path, [corpus], "one")
+        got = sorted(set(acc.read_committed(spark).toPandas().doc_id))
+
+        full = spark.createDataFrame(corpus, schema=self.SCHEMA)
+        pairs = simhash_neardup_pairs(full, max_bucket=None)
+        comp = connected_components(
+            pairs.select("doc_a", "doc_b"), full.select("doc_id"), "doc_id"
+        ).toPandas()
+        want = sorted(comp[comp.doc_id == comp.cluster_id].doc_id)
+        assert got == want == ["d0", "d2", "d4"]
+        # index holds exactly the accepted docs' band rows (4 each)
+        bands = idx.read_committed(spark).toPandas()
+        assert sorted(set(bands.doc_id)) == want
+        assert (bands.groupby("doc_id").size() == 4).all()
+
+    def test_multi_batch_greedy_and_redelivery(self, spark, tmp_path):
+        """Cross-batch greedy rejection, hamming-0 re-ingest rejection,
+        and exactly-once re-run stability."""
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["d0", "d1", "d2"],
+                           "text": [U["a"], U["a"], U["b"]]})
+        b2 = pd.DataFrame({"doc_id": ["d3", "d4"],
+                           "text": [U["a"], U["c"]]})   # d3 dup of accepted d0
+        b3 = pd.DataFrame({"doc_id": ["d5"], "text": [U["c"]]})  # dup of d4
+        feed, idx, acc, ckpt = self._run(
+            spark, tmp_path, [b1, b2, b3], "multi"
+        )
+        accepted = sorted(set(acc.read_committed(spark).toPandas().doc_id))
+        assert accepted == ["d0", "d2", "d4"]
+        # re-run with no new files: committed sets unchanged
+        n_idx = len(idx.read_committed(spark).toPandas())
+        run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                           accept_sink=acc)
+        assert len(idx.read_committed(spark).toPandas()) == n_idx
+        assert sorted(set(
+            acc.read_committed(spark).toPandas().doc_id
+        )) == ["d0", "d2", "d4"]
+
+    def test_accepted_set_pairwise_non_neardup(self, spark, tmp_path):
+        """Invariant: no two ACCEPTED docs are near-dups of each other,
+        regardless of batching."""
+        from real_time_sliding_window_spark.operators.dedup import (
+            simhash_neardup_pairs,
+        )
+
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["a0", "a1"],
+                           "text": [U["a"], U["b"]]})
+        b2 = pd.DataFrame({"doc_id": ["a2", "a3"],
+                           "text": [U["b"], U["d"]]})
+        _, _, acc, _ = self._run(spark, tmp_path, [b1, b2], "inv")
+        accepted = acc.read_committed(spark)
+        n_pairs = simhash_neardup_pairs(
+            accepted, max_bucket=None
+        ).count()
+        assert n_pairs == 0
+        assert sorted(set(accepted.toPandas().doc_id)) == ["a0", "a1", "a3"]
+
+    def test_cross_batch_chain_is_greedy(self, spark):
+        """The documented divergence: A~B, B~C, A!~C with C in a later
+        batch — batch CC keeps {A}; greedy ingest keeps {A, C}. Driven
+        through the decision core with crafted fingerprints (simhash
+        text -> exact hamming relations are not constructible)."""
+        from real_time_sliding_window_spark.operators.dedup import (
+            simhash_bands,
+        )
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            _accepted_ids,
+        )
+
+        def fp(rows_):
+            return spark.createDataFrame(
+                pd.DataFrame(rows_, columns=["doc_id", "simhash"]),
+                schema="doc_id string, simhash long",
+            )
+
+        # A=0b000000, B=0b000111 (h(A,B)=3), C=0b111111 (h(B,C)=3,
+        # h(A,C)=6 > 3); all share bands 1-3 (zeros) so all are candidates
+        batch1 = simhash_bands(fp([("A", 0), ("B", 7)]))
+        acc1 = _accepted_ids(batch1, None, 3, None).toPandas()
+        assert sorted(acc1.doc_id) == ["A"]
+        index = batch1.join(
+            spark.createDataFrame(pd.DataFrame({"doc_id": acc1.doc_id})),
+            "doc_id",
+        )
+        batch2 = simhash_bands(fp([("C", 63)]))
+        acc2 = _accepted_ids(batch2, index, 3, None).toPandas()
+        assert sorted(acc2.doc_id) == ["C"]  # greedy: B was never accepted
+
+
 class TestAsOfStreamJoin:
     def test_matches_batch_asof_with_ties_and_horizon(self, spark, tmp_path):
         """Streaming as-of == batch as_of_join on the same rows: latest
