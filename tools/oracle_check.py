@@ -53,7 +53,10 @@ def main() -> int:
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver layout = one file per table; generated sets (e.g.
+            # tools/gen_sf1.py) are Spark directory-style — glob those
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
