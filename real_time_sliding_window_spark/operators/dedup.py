@@ -596,6 +596,7 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 8,
     multiprobe: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: sign-sketch LSH buckets + exact (quantized)
     cosine verification. The sketch is the sign pattern against n_planes
@@ -608,9 +609,38 @@ def embedding_neardup_pairs(
     (probe cost: side A is exploded (n_planes+1)x; side B keeps one bucket
     key, so the join stays an equi-join). vec_a < vec_b plus distinct probe
     values keep the output duplicate-free. Measured recall: BENCH/ANN.md.
+
+    ``max_bucket`` (r4, found by the 10× sf1 sweep — BENCH/SCALE10X.md):
+    with FIXED n_planes the 2^n_planes bucket count does not grow with
+    the corpus, so per-bucket occupancy grows linearly and the self-join
+    candidate volume QUADRATICALLY — measured 12× wall at 10× rows with
+    zero output pairs. Same doctrine as simhash_neardup_pairs: drop
+    buckets with occupancy > max_bucket from candidate generation,
+    bounding volume at (n_planes+1)·n·max_bucket — linear. Recall
+    boundary, stated precisely: a pair meets through the LARGER id's
+    HOME bucket (the B side of the probe join), so a pair is skipped iff
+    that home bucket is hot — hot buckets are where near-dup recall is
+    lowest anyway (BENCH/SIMHASH.md survivor analysis). The scale
+    alternative is
+    raising n_planes with log2(n) (buckets ∝ n, occupancy constant) at
+    the cost of per-bucket recall; the cap composes with either. None
+    keeps the uncapped oracle-exact semantics.
     """
     q = emb.select(F.col(id_col).alias("vec_id"), C.quantize(vec_col).alias("qv"))
     bucketed = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
+    right = bucketed
+    if max_bucket is not None:
+        # cap the JOIN-TARGET side only (the simhash band analogue: a
+        # hot-bucket vector still probes OUT via its A-side keys, it just
+        # stops being a fan-out target) — A-side rows × max_bucket bounds
+        # the candidate volume linearly
+        cool = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("bucket")
+        )
+        right = bucketed.join(cool, "bucket")
     left = bucketed
     if multiprobe:
         probes = [F.col("bucket")] + [
@@ -622,7 +652,7 @@ def embedding_neardup_pairs(
     pairs = (
         left.alias("a")
         .join(
-            bucketed.alias("b"),
+            right.alias("b"),
             on=[
                 F.col("a.bucket") == F.col("b.bucket"),
                 F.col("a.vec_id") < F.col("b.vec_id"),

@@ -262,6 +262,41 @@ class TestDedup:
         assert (0, 1) in got
         assert all(c >= 0.95 for c in pairs.cosine)
 
+    def test_embedding_bucket_cap(self, spark):
+        """r4 (SCALE10X.md): max_bucket on the embedding path — identity
+        when every bucket is under the cap; a hot bucket stops being a
+        join TARGET (a pair is skipped iff the larger id's home bucket
+        is hot), so a cloned corpus under a tiny cap yields nothing."""
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(20, 16)).astype(np.float32)
+        vecs[1] = vecs[0] + 0.01  # planted near-dup
+        pdf = pd.DataFrame(
+            {"vec_id": range(20),
+             "embedding": [list(map(float, r)) for r in vecs]}
+        )
+        emb = spark.createDataFrame(pdf)
+        key = lambda p: sorted(
+            (int(a), int(b)) for a, b in zip(p.vec_a, p.vec_b)
+        )
+        free = dedup.embedding_neardup_pairs(
+            emb, min_cosine=0.95, multiprobe=True, max_bucket=None
+        ).toPandas()
+        capped = dedup.embedding_neardup_pairs(
+            emb, min_cosine=0.95, multiprobe=True, max_bucket=100
+        ).toPandas()
+        assert key(free) == key(capped) and (0, 1) in key(free)
+
+        clones = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(30),
+                 "embedding": [list(map(float, vecs[0]))] * 30}
+            )
+        )
+        hot = dedup.embedding_neardup_pairs(
+            clones, min_cosine=0.95, multiprobe=True, max_bucket=8
+        )
+        assert hot.count() == 0  # the single home bucket holds 30 > cap
+
 
 class TestSimilarity:
     def test_brute_force_topk(self, spark):
