@@ -152,6 +152,157 @@ def _accepted_ids(
     )
 
 
+def _accepted_vec_ids(
+    batch_q: DataFrame,
+    index_q: DataFrame | None,
+    min_cosine: float,
+    n_planes: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Embedding-mode decision core: batch (vec_id, qv, bucket) rows
+    (+ accumulated index rows) -> accepted vec_ids. Same greedy/cluster
+    structure as the text core; candidates come from the sign-sketch
+    bucket join with flip-1-bit multiprobe, verification is the exact
+    quantized cosine (the embedding_neardup_pairs rule)."""
+    from real_time_sliding_window_spark.functions import columns as C
+
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+    ]
+    if index_q is not None:
+        target = index_q
+        if max_bucket is not None:
+            cool = (
+                target.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("__occ"))
+                .filter(F.col("__occ") <= max_bucket)
+                .select("bucket")
+            )
+            target = target.join(cool, "bucket")
+        probing = batch_q.select(
+            "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+        )
+        cand = (
+            probing.alias("n")
+            .join(target.alias("i"), "bucket")
+            .select(
+                F.col("n.vec_id").alias("vec_id"),
+                F.col("n.qv").alias("qa"),
+                F.col("i.qv").alias("qb"),
+            )
+        )
+        cos = C.int_dot("qa", "qb").cast("double") / (
+            C.int_norm("qa") * C.int_norm("qb")
+        )
+        hits = (
+            cand.filter(cos >= min_cosine).select("vec_id").distinct()
+        )
+        survivors = batch_q.join(hits, "vec_id", "left_anti")
+    else:
+        survivors = batch_q
+
+    left = survivors.select(
+        "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    pairs = (
+        left.alias("a")
+        .join(
+            survivors.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
+        )
+        .distinct()
+    )
+    cos = C.int_dot("qa", "qb").cast("double") / (
+        C.int_norm("qa") * C.int_norm("qb")
+    )
+    pairs = pairs.filter(cos >= min_cosine).select("doc_a", "doc_b")
+    ids = survivors.select(F.col("vec_id").alias("doc_id")).distinct()
+    pairs = pairs.localCheckpoint(eager=True)
+    if pairs.isEmpty():
+        return ids.select(F.col("doc_id").alias("vec_id"))
+    comp = connected_components(pairs, ids, "doc_id")
+    return comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+
+
+def run_embedding_ingest(
+    stream: DataFrame,
+    index_sink,
+    checkpoint: str,
+    accept_sink=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    max_bucket: int | None = None,
+):
+    """SEMANTIC near-dup ingest guard — the embedding-column twin of
+    ``run_neardup_ingest``. Each micro-batch: quantize + sign-sketch ->
+    multiprobe the accumulated (vec_id, bucket, qv) index -> reject
+    vectors whose exact quantized cosine against an accepted vector is
+    >= ``min_cosine`` (cross-batch greedy) or that lose their
+    within-batch near-dup cluster to a smaller id -> append accepted
+    rows to the index. Same contracts as the text guard: single-batch
+    input reproduces the batch ``embedding_neardup_pairs`` + CC min-id
+    survivors; the accepted set is pairwise non-near-dup (at sketch
+    hamming <= 1 — the multiprobe recall boundary, BENCH/ANN.md);
+    redelivered batches are idempotent, re-ingested vectors are
+    cosine-1 matches and rejected. ``max_bucket``/``n_planes`` carry
+    the SCALE10X.md occupancy doctrine: fixed planes make index-probe
+    volume quadratic in corpus growth, so raise n_planes ~log2(n) and
+    cap hot buckets.
+    """
+    from real_time_sliding_window_spark.functions import columns as C
+
+    spark = stream.sparkSession
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        batch_q = batch.select(
+            F.col(id_col).cast("string").alias("vec_id"),
+            C.quantize(vec_col).alias("qv"),
+        ).withColumn("bucket", C.sign_sketch("qv", n_planes))
+        try:
+            index_q = index_sink.read_committed(spark)
+        except FileNotFoundError:
+            index_q = None
+        accepted = _accepted_vec_ids(
+            batch_q, index_q, min_cosine, n_planes, max_bucket
+        ).localCheckpoint(eager=True)
+        index_sink.write_batch(batch_q.join(accepted, "vec_id"), batch_id)
+        if accept_sink is not None:
+            # cast the (string) index id back to the caller's id type so
+            # the semi-join is an exact equi-join, not a coerced one
+            acc_typed = accepted.select(
+                F.col("vec_id")
+                .cast(batch.schema[id_col].dataType)
+                .alias(id_col)
+            )
+            accept_sink.write_batch(
+                batch.join(acc_typed, id_col, "left_semi"), batch_id
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName("embedding-ingest-guard")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_neardup_ingest(
     stream: DataFrame,
     index_sink,
@@ -197,12 +348,15 @@ def run_neardup_ingest(
             batch_bands.join(accepted, "doc_id"), batch_id
         )
         if accept_sink is not None:
+            # cast the (string) index id back to the caller's id type so
+            # the semi-join is an exact equi-join, not a coerced one
+            acc_typed = accepted.select(
+                F.col("doc_id")
+                .cast(batch.schema[id_col].dataType)
+                .alias(id_col)
+            )
             accept_sink.write_batch(
-                batch.join(
-                    accepted.withColumnRenamed("doc_id", id_col), id_col,
-                    "left_semi",
-                ),
-                batch_id,
+                batch.join(acc_typed, id_col, "left_semi"), batch_id
             )
 
     q = (

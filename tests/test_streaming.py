@@ -1269,6 +1269,69 @@ class TestNearDupIngestGuard:
         assert n_pairs == 0
         assert sorted(set(accepted.toPandas().doc_id)) == ["a0", "a1", "a3"]
 
+    def test_embedding_guard_greedy_and_equivalence(self, spark, tmp_path):
+        """Embedding-mode (semantic) ingest guard: single-batch input ==
+        batch embedding_neardup_pairs + CC min-id survivors; a later
+        re-ingest of an accepted vector (cosine 1) is rejected; bigint
+        vec_ids survive the typed semi-join."""
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators.dedup import (
+            connected_components,
+            embedding_neardup_pairs,
+        )
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_embedding_ingest,
+        )
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(8, 16)).astype(np.float32)
+        vecs[1] = vecs[0] + 0.01   # near-dup pair (0, 1)
+        vecs[4] = vecs[3] * 1.02   # near-dup pair (3, 4)
+        schema = "vec_id long, embedding array<float>"
+
+        def pdf(ids, rows_):
+            return pd.DataFrame(
+                {"vec_id": ids,
+                 "embedding": [list(map(float, r)) for r in rows_]}
+            )
+
+        b1 = pdf(range(8), vecs)
+        b2 = pdf([100, 101], [vecs[0], rng.normal(size=16)])  # 100 ~ acc 0
+
+        feed = FileFeed(spark, str(tmp_path / "eg_in"))
+        idx = ExactlyOnceParquetSink(str(tmp_path / "eg_idx"))
+        acc = ExactlyOnceParquetSink(str(tmp_path / "eg_acc"))
+        ckpt = str(tmp_path / "eg_ckpt")
+        for push in (b1, b2):
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_embedding_ingest(
+                feed.stream(schema), idx, ckpt, accept_sink=acc,
+                min_cosine=0.95,
+            )
+
+        accepted = sorted(acc.read_committed(spark).toPandas().vec_id)
+        # batch-side survivors of b1 alone
+        full = spark.createDataFrame(b1, schema=schema)
+        pairs = embedding_neardup_pairs(
+            full, min_cosine=0.95, multiprobe=True
+        )
+        comp = connected_components(
+            pairs.select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            ),
+            full.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+        ).toPandas()
+        want_b1 = sorted(
+            int(v) for v in comp[comp.doc_id == comp.cluster_id].doc_id
+        )
+        # batch 2: 100 rejected (cosine 1 vs accepted 0), 101 accepted
+        assert accepted == want_b1 + [101]
+        assert 1 not in accepted and 4 not in accepted and 100 not in accepted
+        # accepted rows keep the caller's bigint id type
+        assert acc.read_committed(spark).schema["vec_id"].dataType.typeName() == "long"
+
     def test_cross_batch_chain_is_greedy(self, spark):
         """The documented divergence: A~B, B~C, A!~C with C in a later
         batch — batch CC keeps {A}; greedy ingest keeps {A, C}. Driven
