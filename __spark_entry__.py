@@ -585,6 +585,20 @@ def q_dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.full_dedup(_docs(spark, sf_dir), min_jaccard=0.5, max_df=128)
 
 
+def q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup resolution (r4): per df-capped ngram cluster,
+    mark the member with the highest quality score (distinct_permille,
+    ties to the lower doc_id) — what a production pipeline keeps instead
+    of the min-id representative (dedup.keep_best_per_cluster)."""
+    docs = _docs(spark, sf_dir)
+    scores = T.quality_scores(docs).select(
+        "doc_id", F.col("distinct_permille").alias("score")
+    )
+    return D.keep_best_per_cluster(
+        docs, scores, min_jaccard=0.5, max_df=128
+    )
+
+
 def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-addressed 25% sample: selection is a pure
     function of doc_id (md5 bucket), so it reproduces across runs,
@@ -594,6 +608,48 @@ def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hash_sample(_docs(spark, sf_dir), "doc_id", rate_pct=25).select(
         "doc_id", "source"
+    )
+
+
+_MIXTURE_RATES = {"src0": 80, "src1": 50, "src2": 20, "src3": 0}
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus MIXING (r4): per-source sampling rates over the same
+    content-addressed buckets as hash_sample — keep 80% of src0, 50% of
+    src1, 20% of src2, none of src3, 10% of everything else. One
+    map-side expression, zero shuffle, reproducible under reruns /
+    engines / incremental ingest (sampling.mixture_sample)."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    return mixture_sample(
+        _docs(spark, sf_dir), "doc_id", "source", _MIXTURE_RATES,
+        default_pct=10,
+    ).select("doc_id", "source")
+
+
+def q_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (r4): greedy best-first by
+    (quality score DESC, doc_id ASC) keeping the longest prefix with
+    cumulative tokens <= 10,000 — "fill the training mix with the best
+    data first". The Spark lowering is the two-pass stratum plan
+    (sampling.token_budget_select): per-score partial agg + a window
+    over <= 1001 strata + a boundary window over ONE stratum — no
+    global single-partition running sum anywhere. The oracle replays
+    the naive global-window prefix rule, so the oracle check proves the
+    stratum decomposition exact."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    scored = T.quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "distinct_permille"
+    )
+    return token_budget_select(
+        scored, budget=10_000, score_col="distinct_permille",
+        token_col="n_tokens",
     )
 
 
@@ -1440,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_suppliers": q_bulk_suppliers,
         "event_gaps": q_event_gaps,
         "late_suppliers": q_late_suppliers,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "token_budget_docs": q_token_budget_docs,
+        "dedup_keep_best_docs": q_dedup_keep_best_docs,
     }
 
 
@@ -1787,10 +1846,61 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_SQL,
         "neardup_clusters_docs": _CLUSTERS_SQL,
         "dedup_pipeline_docs": _PIPELINE_CLUSTERS_SQL,
+        "dedup_keep_best_docs": f"""
+            WITH clusters AS ({_CLUSTERS_SQL}),
+            t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+            q AS (
+                SELECT doc_id,
+                       CASE WHEN len(tok) > 0
+                            THEN CAST(floor(1000 * len(list_distinct(tok))
+                                            / len(tok)) AS BIGINT)
+                            ELSE 0 END AS score
+                FROM t
+            )
+            SELECT c.doc_id, c.cluster_id, c.cluster_size, q.score,
+                   (row_number() OVER (
+                        PARTITION BY c.cluster_id
+                        ORDER BY q.score DESC, c.doc_id ASC
+                    ) = 1) AS keep
+            FROM clusters c JOIN q USING (doc_id)
+        """,
         "hash_sample_docs": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                   % 100 < 25
+        """,
+        "mixture_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 100 <
+                  CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                              WHEN 'src2' THEN 20 WHEN 'src3' THEN 0
+                              ELSE 10 END
+        """,
+        # the NAIVE form on purpose: a single global running sum ordered
+        # (score DESC, doc_id ASC) — the hash match proves the stratum
+        # decomposition the Spark side uses is exactly equivalent
+        "token_budget_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+            scored AS (
+                SELECT doc_id,
+                       CAST(len(tok) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(tok) > 0
+                            THEN CAST(floor(1000 * len(list_distinct(tok))
+                                            / len(tok)) AS BIGINT)
+                            ELSE 0 END AS score
+                FROM t
+            ),
+            ordered AS (
+                SELECT doc_id, score, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY score DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_tokens
+                FROM scored
+            )
+            SELECT doc_id, score, n_tokens, cum_tokens
+            FROM ordered WHERE cum_tokens <= 10000
         """,
         "split_counts_docs": """
             WITH b AS (

@@ -405,6 +405,42 @@ def neardup_clusters(
     return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    **cluster_kw,
+) -> DataFrame:
+    """Near-dup resolution keeping the HIGHEST-QUALITY member (r4).
+
+    ``neardup_clusters``/``full_dedup`` keep the min-id representative —
+    fine for counting, but a production pipeline keeps the BEST copy of
+    each near-dup family (the cleanest extraction, the longest span,
+    the highest quality score). Given a per-doc ``scores`` frame, mark
+    per cluster the member with the highest ``score_col`` (ties to the
+    lower id — fully deterministic). Output: (id, cluster_id,
+    cluster_size, score, keep) — one ``keep=true`` row per cluster;
+    training keeps those rows.
+
+    Plan: the cluster computation is the existing df-capped pipeline;
+    the argmax is one row_number window PARTITIONED by cluster_id (no
+    global window), partial-agg-friendly and skew-bounded by the
+    largest cluster. ``cluster_kw`` forwards to ``neardup_clusters``
+    (shingle_k / min_jaccard / max_df / weight_col)."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    comp = neardup_clusters(df, id_col=id_col, **cluster_kw)
+    w = SqlWindow.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        comp.join(scores.select(id_col, score_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "cluster_size", score_col, "keep")
+    )
+
+
 def full_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

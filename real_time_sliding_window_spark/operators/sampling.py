@@ -63,6 +63,123 @@ def split_assignment(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Per-source sampling rates — the corpus-MIXING primitive (r4).
+
+    Training mixtures are specified as per-source proportions ("keep 80%
+    of wiki, 20% of forums, 5% of crawl"); this is ``hash_sample`` with a
+    source-dependent threshold: keep a row iff its content-addressed
+    bucket < rates[source] (``default_pct`` for unlisted sources). All
+    hash_sample properties carry over — reproducible across runs,
+    engines and repartitionings; new rows never reshuffle old decisions
+    (incremental ingest keeps the mixture); one map-side expression,
+    zero shuffle, trivially oracle-replayable. Down-sampling only (a
+    rate > 100 keeps everything; up-weighting a source is the trainer's
+    repeat-factor, not the sampler's job).
+    """
+    b = hash_bucket(key_col, n_buckets)
+    rate = F.lit(default_pct)
+    for src, pct in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first corpus selection under a token budget (r4):
+    order documents by (score DESC, id ASC) and keep the longest prefix
+    whose cumulative token count stays <= ``budget`` — the deterministic
+    "fill the training mix with the best data first" rule.
+
+    SCALE LOWERING — the naive plan is a global sort + running sum, i.e.
+    one partition holding the corpus (the classic window-function scale
+    killer). Because the running sum is MONOTONE, the prefix rule
+    factors into two bounded passes instead:
+
+    1. aggregate tokens per score STRATUM (one partial+final agg; the
+       integer score domain is small — e.g. 0..1000 for
+       ``distinct_permille``), running-sum over strata only (a window
+       over <= |score domain| rows), and collect TWO scalars: the lowest
+       fully-included score and the budget remaining at its boundary —
+       constants, same discipline as the k-means centroid collect;
+    2. keep every doc with score above the cutoff (map-side filter),
+       plus the boundary stratum's prefix by id — a window restricted
+       to ONE score value, whose size is the stratum occupancy, not the
+       corpus.
+
+    Output: (id, score, tokens, cum_tokens) of selected docs,
+    cum_tokens being the global running sum (reconstructed exactly from
+    the per-stratum offsets). Equals the naive single-window rule row
+    for row; the oracle replays the naive form.
+    """
+    from pyspark.sql.window import Window as SqlWindow
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("__score"),
+        F.col(token_col).cast("long").alias("__toks"),
+    )
+    strata = scored.groupBy("__score").agg(F.sum("__toks").alias("__stoks"))
+    w = SqlWindow.orderBy(F.col("__score").desc())
+    strata = strata.withColumn("__cum", F.sum("__stoks").over(w)).withColumn(
+        "__prev", F.col("__cum") - F.col("__stoks")
+    )
+    # two scalar constants off a <=|score domain|-row frame
+    boundary = (
+        strata.filter(
+            (F.col("__prev") <= budget) & (F.col("__cum") > budget)
+        )
+        .select("__score", "__prev")
+        .collect()
+    )
+    if boundary:
+        cutoff, used_before = int(boundary[0][0]), int(boundary[0][1])
+    else:
+        cutoff, used_before = None, None  # whole corpus fits (or empty)
+
+    # within-stratum prefix sums reconstruct the exact global running sum
+    # (stratum offset __prev + per-id prefix); windows partition by score,
+    # so no partition ever holds more than one stratum
+    iw = SqlWindow.partitionBy("__score").orderBy(F.col(id_col).asc())
+    full = strata.filter(F.col("__cum") <= budget).select(
+        "__score", "__prev"
+    )
+    cols = [
+        F.col(id_col),
+        F.col("__score").alias("score"),
+        F.col("__toks").alias("n_tokens"),
+        F.col("__cum_out").alias("cum_tokens"),
+    ]
+    out = (
+        scored.join(full, "__score")
+        .withColumn("__cum_out", F.col("__prev") + F.sum("__toks").over(iw))
+        .select(*cols)
+    )
+    if cutoff is not None:
+        edge = (
+            scored.filter(F.col("__score") == cutoff)
+            .withColumn(
+                "__cum_out", F.sum("__toks").over(iw) + F.lit(used_before)
+            )
+            .filter(F.col("__cum_out") <= budget)
+            .select(*cols)
+        )
+        out = out.unionByName(edge)
+    return out
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str = "doc_id",
