@@ -560,6 +560,64 @@ class TestSampling:
         # rate is approximately honored (md5 buckets are uniform)
         assert abs(len(a) / 2000 - 0.25) < 0.05
 
+    def test_mixture_sample_rates_and_consistency(self, spark):
+        """r4: per-source rates honored; a doc's keep decision under
+        mixture_sample(rate r for its source) == hash_sample(r) — the
+        mixture is per-source hash_sample by construction, so mixing
+        composes with incremental ingest exactly like sampling does."""
+        from pyspark.sql import functions as SF
+
+        from real_time_sliding_window_spark.operators import sampling
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            SF.concat(SF.lit("s"), (F.col("id") % 3)).alias("source"),
+        )
+        got = sampling.mixture_sample(
+            df, "doc_id", "source", {"s0": 100, "s1": 40}, default_pct=0
+        ).toPandas()
+        by_src = got.groupby("source").size().to_dict()
+        assert by_src.get("s0") == 1000          # rate 100 keeps all
+        assert by_src.get("s2", 0) == 0          # default 0 drops all
+        assert 0 < by_src.get("s1", 0) < 1000    # ~40%
+        only_s1 = sampling.hash_sample(
+            df.filter(F.col("source") == "s1"), "doc_id", 40
+        ).toPandas()
+        assert sorted(got[got.source == "s1"].doc_id) == sorted(
+            only_s1.doc_id
+        )
+
+    def test_token_budget_select_edges(self, spark):
+        """r4: the two-pass stratum plan equals the naive prefix rule on
+        crafted strata, including both edge regimes — whole corpus fits
+        (no boundary stratum) and budget inside the FIRST stratum."""
+        from real_time_sliding_window_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "score": [9, 9, 5, 5, 5, 1],
+            "toks": [10, 20, 5, 5, 100, 1],
+        })
+        df = spark.createDataFrame(pdf)
+
+        def run(budget):
+            out = token_budget_select(
+                df, budget, score_col="score", token_col="toks"
+            ).toPandas()
+            return sorted(
+                (int(r.doc_id), int(r.cum_tokens)) for r in out.itertuples()
+            )
+
+        # naive order: (9,1,10) (9,2,30) (5,3,35) (5,4,40) (5,5,140) (1,6,141)
+        assert run(40) == [(1, 10), (2, 30), (3, 35), (4, 40)]
+        assert run(139) == [(1, 10), (2, 30), (3, 35), (4, 40)]  # 5 overflows; prefix stops
+        assert run(1000) == [(1, 10), (2, 30), (3, 35), (4, 40), (5, 140),
+                             (6, 141)]          # whole corpus fits
+        assert run(15) == [(1, 10)]             # budget inside first stratum
+        assert run(5) == []                     # nothing fits
+
     def test_split_assignment_partitions_corpus(self, spark):
         from real_time_sliding_window_spark.operators import sampling
 
