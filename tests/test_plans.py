@@ -82,6 +82,24 @@ def test_repetition_zero_shuffle_map_plan(spark):
     assert sc["scan_cols"] <= 2
 
 
+def test_late_suppliers_single_sort_shared_by_both_windows(spark):
+    """r4 Q21 lowering guard: the two collect_set windows (EXISTS /
+    NOT-EXISTS twins) must share ONE Sort over one exchange on
+    l_orderkey — two Window nodes, one Sort, no self-join of the
+    lineitem branch, no multi-distinct Expand."""
+    df = E.q_late_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    import re
+
+    sorts = len(re.findall(r"\bSort\b", plan))
+    assert sorts <= 1, f"windows must share one sort, saw {sorts}"
+    assert "Expand" not in plan, "no multi-distinct Expand in this lowering"
+    sc = scorecard(df)
+    assert sc["broadcast_join"], "supplier+nation dims must broadcast"
+    assert sc["pushed_filters"], "orderstatus filter must reach the scan"
+
+
 def test_tfidf_broadcasts_query_terms_and_limits_rank(spark):
     sc = scorecard(E.q_tfidf_search_docs(spark, SF))
     assert sc["broadcast_join"], "query-term table must broadcast"

@@ -1364,6 +1364,63 @@ class TestNearDupIngestGuard:
         assert sorted(acc2.doc_id) == ["C"]  # greedy: B was never accepted
 
 
+class TestHeavyHitters:
+    def test_misra_gries_guarantees_over_batches(self, spark, tmp_path):
+        """r4: streamed Misra-Gries summary (m=8) over 3 micro-batches
+        of skewed items must satisfy the classic guarantees vs exact
+        counts: under-estimate only, true <= est + err, err <= N/(m+1),
+        and every item above the N/(m+1) frequency line is tracked."""
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators.heavy_hitters import (
+            heavy_hitters_stream,
+        )
+
+        m = 8
+        rng = np.random.default_rng(5)
+        zipf = [f"i{min(int(v), 40)}" for v in rng.zipf(1.4, 3000)]
+        batches = [
+            pd.DataFrame({
+                "grp": ["g1"] * 800 + ["g2"] * 200,
+                "item": zipf[k * 1000: k * 1000 + 800]
+                + zipf[k * 1000 + 800: (k + 1) * 1000],
+            })
+            for k in range(3)
+        ]
+        schema = "grp string, item string"
+
+        def pipe(stream):
+            return heavy_hitters_stream(stream, "grp", "item", m=m)
+
+        _, snaps = drive(
+            spark, tmp_path, pipe, batches, "hh", schema=schema
+        )
+        final = snaps[-1]
+        latest = final[final.version == final.groupby("group")
+                       .version.transform("max")]
+
+        exact = (
+            pd.concat(batches)
+            .groupby(["grp", "item"]).size().to_dict()
+        )
+        n_by_grp = pd.concat(batches).groupby("grp").size().to_dict()
+        for grp in ("g1", "g2"):
+            rows = latest[latest.group == grp]
+            n = n_by_grp[grp]
+            assert int(rows.n_total.iloc[0]) == n
+            err = int(rows.err_bound.iloc[0])
+            assert err <= n / (m + 1)
+            assert len(rows) <= m
+            for r in rows.itertuples():
+                true = exact.get((grp, r.item), 0)
+                assert r.est_count <= true <= r.est_count + err
+            # completeness: anything above the frequency line is tracked
+            tracked = set(rows.item)
+            for (g, item), true in exact.items():
+                if g == grp and true > n / (m + 1):
+                    assert item in tracked, (item, true, n / (m + 1))
+
+
 class TestDistinctSketchIndex:
     def test_incremental_union_equals_single_pass_and_truth(
         self, spark, tmp_path
