@@ -528,6 +528,23 @@ def simhash_fingerprints(
     )
 
 
+def cool_buckets(
+    bands: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Bucket keys whose occupancy is within ``max_bucket`` — THE
+    occupancy-cap primitive, kept in one audited place (review r4: four
+    hand-rolled copies had started to drift on which side gets capped).
+    Join candidates against this to bound LSH self-join volume; never
+    filter an operator's id universe with it (capping is about skipping
+    CANDIDATE PAIRS in hot buckets, not about dropping rows)."""
+    return (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") <= max_bucket)
+        .select(*key_cols)
+    )
+
+
 def simhash_bands(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band rows (doc_id, simhash, band_idx, band_val) from a fingerprint
     frame (id, simhash): 4 × 15-bit slices — the shared LSH key shape of
@@ -594,13 +611,10 @@ def simhash_neardup_pairs(
     )
     bands = simhash_bands(fp, id_col)
     if max_bucket is not None:
-        cool = (
-            bands.groupBy("band_idx", "band_val")
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(F.col("__occ") <= max_bucket)
-            .select("band_idx", "band_val")
+        bands = bands.join(
+            cool_buckets(bands, ["band_idx", "band_val"], max_bucket),
+            ["band_idx", "band_val"],
         )
-        bands = bands.join(cool, ["band_idx", "band_val"])
     pairs = (
         bands.alias("a")
         .join(
@@ -670,13 +684,9 @@ def embedding_neardup_pairs(
         # hot-bucket vector still probes OUT via its A-side keys, it just
         # stops being a fan-out target) — A-side rows × max_bucket bounds
         # the candidate volume linearly
-        cool = (
-            bucketed.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(F.col("__occ") <= max_bucket)
-            .select("bucket")
+        right = bucketed.join(
+            cool_buckets(bucketed, ["bucket"], max_bucket), "bucket"
         )
-        right = bucketed.join(cool, "bucket")
     left = bucketed
     if multiprobe:
         probes = [F.col("bucket")] + [

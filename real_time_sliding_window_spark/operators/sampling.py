@@ -126,16 +126,32 @@ def token_budget_select(
     """
     from pyspark.sql.window import Window as SqlWindow
 
+    # integral score domain is the contract, ENFORCED (review r4): a
+    # float score would be silently truncated by the long cast — e.g. a
+    # [0,1] quality score collapses into one stratum and the "best-first"
+    # order degenerates to doc_id order with no error. Pre-quantize
+    # floats (e.g. floor(score * 1000)) before calling.
+    score_type = df.schema[score_col].dataType.typeName()
+    if score_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"token_budget_select needs an INTEGRAL score column; "
+            f"{score_col} is {score_type} — quantize it first "
+            f"(e.g. floor({score_col} * 1000))"
+        )
+    # materialize once: scored fans out to 3-4 consumers (strata agg,
+    # boundary collect, full join, edge path) and separate actions get
+    # no ReusedExchange (the repo's multi-branch rule — see
+    # connected_components / ngram_jaccard_pairs)
     scored = df.select(
         F.col(id_col),
         F.col(score_col).cast("long").alias("__score"),
         F.col(token_col).cast("long").alias("__toks"),
-    )
+    ).localCheckpoint(eager=True)
     strata = scored.groupBy("__score").agg(F.sum("__toks").alias("__stoks"))
     w = SqlWindow.orderBy(F.col("__score").desc())
     strata = strata.withColumn("__cum", F.sum("__stoks").over(w)).withColumn(
         "__prev", F.col("__cum") - F.col("__stoks")
-    )
+    ).localCheckpoint(eager=True)  # tiny; feeds boundary collect + full join
     # two scalar constants off a <=|score domain|-row frame
     boundary = (
         strata.filter(

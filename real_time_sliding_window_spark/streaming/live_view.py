@@ -306,6 +306,15 @@ class LiveWindowView:
             snap_id = old_ids[0]
             tmp = os.path.join(self.root, f"_tmp_snap_{uuid.uuid4().hex}")
             resolved.write.mode("overwrite").parquet(tmp)
+            # HEARTBEAT the lease after the long step (review r4): the
+            # GC guard and the stale-steal both key off the lock's
+            # mtime, so a snapshot write that outlives stale_after would
+            # otherwise leave this compactor's lease stealable and its
+            # tmp dir collectable exactly when it matters. Touching the
+            # lock after each long step keeps the lease fresh as long as
+            # no SINGLE step exceeds stale_after (which is also the
+            # honest limit of mtime-based leasing on a plain filesystem).
+            os.utime(self._lock_path())
             # Replace the OLDEST delta with the snapshot FIRST: once it
             # lands, the store is fully consistent — every newer delta's
             # per-key value equals the snapshot's resolved value, so the

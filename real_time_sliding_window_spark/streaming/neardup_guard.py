@@ -71,25 +71,41 @@ def _accepted_ids(
     max_bucket: int | None,
 ) -> DataFrame:
     """The guard's decision core, shared by the stream body and tests:
-    batch band rows (+ accumulated index band rows) -> accepted doc_ids."""
+    batch band rows (+ accumulated index band rows) -> accepted doc_ids.
+
+    Two invariants hardened by the r4 review:
+
+    - the acceptance UNIVERSE is every batch doc — ``max_bucket`` caps
+      candidate GENERATION only (a doc whose every band is hot simply
+      meets no candidates and is accepted), it never removes a doc from
+      consideration; the earlier draft capped the batch bands themselves
+      and silently dropped hot-banded docs from both index and output;
+    - the cross-batch join EXCLUDES same-id matches: a foreachBatch
+      RETRY after the index write committed (but before the streaming
+      checkpoint did) re-reads this very batch's rows from the index —
+      without the exclusion every accepted doc hamming-0-rejects ITSELF
+      and the retry commits an empty accept batch, permanently losing
+      the documents. With it, the retry reproduces the original
+      decision set exactly: accepted docs match only themselves
+      (accepted sets are pairwise non-near-dup), rejected docs still
+      match the accepted rows that rejected them first time.
+    """
+    all_ids = batch_bands.select("doc_id").distinct()
+    cand_bands = batch_bands
     if max_bucket is not None:
         # occupancy over index ∪ batch — the prefix-corpus view of the
-        # batch twin's cap; buckets only get hotter as the index grows,
-        # so a bucket dropped here would also be dropped by the batch
-        # run on any superset corpus (cap only ever DROPS candidates;
-        # pigeonhole recall needs max_bucket=None, same as batch)
+        # batch twin's cap; buckets only get hotter as the index grows
+        from real_time_sliding_window_spark.operators.dedup import (
+            cool_buckets,
+        )
+
         all_bands = batch_bands.select("band_idx", "band_val")
         if index_bands is not None:
             all_bands = all_bands.unionByName(
                 index_bands.select("band_idx", "band_val")
             )
-        cool = (
-            all_bands.groupBy("band_idx", "band_val")
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(F.col("__occ") <= max_bucket)
-            .select("band_idx", "band_val")
-        )
-        batch_bands = batch_bands.join(cool, ["band_idx", "band_val"])
+        cool = cool_buckets(all_bands, ["band_idx", "band_val"], max_bucket)
+        cand_bands = batch_bands.join(cool, ["band_idx", "band_val"])
         if index_bands is not None:
             index_bands = index_bands.join(cool, ["band_idx", "band_val"])
 
@@ -97,7 +113,7 @@ def _accepted_ids(
     # already-accepted doc within the hamming radius
     if index_bands is not None:
         hits = (
-            batch_bands.alias("n")
+            cand_bands.alias("n")
             .join(
                 index_bands.alias("i"),
                 on=[
@@ -108,12 +124,16 @@ def _accepted_ids(
             .filter(
                 F.bit_count(F.expr("n.simhash ^ i.simhash")) <= max_hamming
             )
+            .filter(
+                F.col("n.doc_id").cast("string") != F.col("i.doc_id")
+            )
             .select(F.col("n.doc_id").alias("doc_id"))
             .distinct()
         )
-        survivors = batch_bands.join(hits, "doc_id", "left_anti")
+        survivor_ids = all_ids.join(hits, "doc_id", "left_anti")
     else:
-        survivors = batch_bands
+        survivor_ids = all_ids
+    survivors = cand_bands.join(survivor_ids, "doc_id")
 
     # stage 2 — within-batch: near-dup clusters over the survivors, keep
     # the min-id representative (the batch family's cluster rule)
@@ -137,7 +157,6 @@ def _accepted_ids(
         .filter(F.bit_count(F.expr("sim_a ^ sim_b")) <= max_hamming)
         .select("doc_a", "doc_b")
     )
-    ids = survivors.select("doc_id").distinct()
     # fast path: most micro-batches have ZERO within-batch near-dup
     # candidates — skip the iterative CC (its per-round jobs are the
     # guard's constant cost) and accept every stage-1 survivor. The
@@ -145,8 +164,8 @@ def _accepted_ids(
     # CC (when needed) don't recompute the band self-join.
     pairs = pairs.localCheckpoint(eager=True)
     if pairs.isEmpty():
-        return ids
-    comp = connected_components(pairs, ids, "doc_id")
+        return survivor_ids
+    comp = connected_components(pairs, survivor_ids, "doc_id")
     return comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id"
     )
@@ -163,51 +182,71 @@ def _accepted_vec_ids(
     (+ accumulated index rows) -> accepted vec_ids. Same greedy/cluster
     structure as the text core; candidates come from the sign-sketch
     bucket join with flip-1-bit multiprobe, verification is the exact
-    quantized cosine (the embedding_neardup_pairs rule)."""
+    quantized cosine (the embedding_neardup_pairs rule). The r4-review
+    invariants of ``_accepted_ids`` apply identically: the acceptance
+    universe is every batch vector (caps bound candidates, never drop
+    rows), the index join excludes same-id matches (foreachBatch-retry
+    self-rejection), and ``max_bucket`` caps the WITHIN-batch join
+    target too (a clone-heavy first batch otherwise does the quadratic
+    blowup the cap exists to prevent — SCALE10X.md)."""
     from real_time_sliding_window_spark.functions import columns as C
+    from real_time_sliding_window_spark.operators.dedup import cool_buckets
 
     probes = [F.col("bucket")] + [
         F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
     ]
+    all_ids = batch_q.select("vec_id").distinct()
+    cool = None
+    if max_bucket is not None:
+        # occupancy over index ∪ batch home buckets (prefix-corpus view)
+        all_buckets = batch_q.select("bucket")
+        if index_q is not None:
+            all_buckets = all_buckets.unionByName(index_q.select("bucket"))
+        cool = cool_buckets(all_buckets, ["bucket"], max_bucket)
+
+    def _cos(qa, qb):
+        return C.int_dot(qa, qb).cast("double") / (
+            C.int_norm(qa) * C.int_norm(qb)
+        )
+
     if index_q is not None:
-        target = index_q
-        if max_bucket is not None:
-            cool = (
-                target.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("__occ"))
-                .filter(F.col("__occ") <= max_bucket)
-                .select("bucket")
-            )
-            target = target.join(cool, "bucket")
+        target = index_q if cool is None else index_q.join(cool, "bucket")
         probing = batch_q.select(
             "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
         )
         cand = (
             probing.alias("n")
             .join(target.alias("i"), "bucket")
+            .filter(
+                F.col("n.vec_id").cast("string") != F.col("i.vec_id")
+            )
             .select(
                 F.col("n.vec_id").alias("vec_id"),
                 F.col("n.qv").alias("qa"),
                 F.col("i.qv").alias("qb"),
             )
         )
-        cos = C.int_dot("qa", "qb").cast("double") / (
-            C.int_norm("qa") * C.int_norm("qb")
-        )
         hits = (
-            cand.filter(cos >= min_cosine).select("vec_id").distinct()
+            cand.filter(_cos("qa", "qb") >= min_cosine)
+            .select("vec_id")
+            .distinct()
         )
-        survivors = batch_q.join(hits, "vec_id", "left_anti")
+        survivor_ids = all_ids.join(hits, "vec_id", "left_anti")
     else:
-        survivors = batch_q
+        survivor_ids = all_ids
+    survivors = batch_q.join(survivor_ids, "vec_id")
 
     left = survivors.select(
         "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
     )
+    # within-batch join TARGET side carries the cap (same rule as
+    # embedding_neardup_pairs: a pair is skipped iff the larger id's
+    # home bucket is hot) — the probing side stays uncapped
+    right = survivors if cool is None else survivors.join(cool, "bucket")
     pairs = (
         left.alias("a")
         .join(
-            survivors.alias("b"),
+            right.alias("b"),
             on=[
                 F.col("a.bucket") == F.col("b.bucket"),
                 F.col("a.vec_id") < F.col("b.vec_id"),
@@ -221,14 +260,13 @@ def _accepted_vec_ids(
         )
         .distinct()
     )
-    cos = C.int_dot("qa", "qb").cast("double") / (
-        C.int_norm("qa") * C.int_norm("qb")
+    pairs = pairs.filter(_cos("qa", "qb") >= min_cosine).select(
+        "doc_a", "doc_b"
     )
-    pairs = pairs.filter(cos >= min_cosine).select("doc_a", "doc_b")
-    ids = survivors.select(F.col("vec_id").alias("doc_id")).distinct()
+    ids = survivor_ids.select(F.col("vec_id").alias("doc_id"))
     pairs = pairs.localCheckpoint(eager=True)
     if pairs.isEmpty():
-        return ids.select(F.col("doc_id").alias("vec_id"))
+        return survivor_ids
     comp = connected_components(pairs, ids, "doc_id")
     return comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
         F.col("doc_id").alias("vec_id")
@@ -267,8 +305,12 @@ def run_embedding_ingest(
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
+        # NATIVE id type end to end (review r4: a string cast here made
+        # the min-id cluster rule LEXICOGRAPHIC — min('10','9')='10' —
+        # silently diverging from the batch family's numeric min); the
+        # index stores a string copy for schema stability only
         batch_q = batch.select(
-            F.col(id_col).cast("string").alias("vec_id"),
+            F.col(id_col).alias("vec_id"),
             C.quantize(vec_col).alias("qv"),
         ).withColumn("bucket", C.sign_sketch("qv", n_planes))
         try:
@@ -278,17 +320,19 @@ def run_embedding_ingest(
         accepted = _accepted_vec_ids(
             batch_q, index_q, min_cosine, n_planes, max_bucket
         ).localCheckpoint(eager=True)
-        index_sink.write_batch(batch_q.join(accepted, "vec_id"), batch_id)
+        index_sink.write_batch(
+            batch_q.join(accepted, "vec_id").withColumn(
+                "vec_id", F.col("vec_id").cast("string")
+            ),
+            batch_id,
+        )
         if accept_sink is not None:
-            # cast the (string) index id back to the caller's id type so
-            # the semi-join is an exact equi-join, not a coerced one
-            acc_typed = accepted.select(
-                F.col("vec_id")
-                .cast(batch.schema[id_col].dataType)
-                .alias(id_col)
-            )
             accept_sink.write_batch(
-                batch.join(acc_typed, id_col, "left_semi"), batch_id
+                batch.join(
+                    accepted.withColumnRenamed("vec_id", id_col),
+                    id_col, "left_semi",
+                ),
+                batch_id,
             )
 
     q = (
@@ -329,8 +373,12 @@ def run_neardup_ingest(
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
+        # NATIVE id type end to end (review r4: the earlier string cast
+        # made the min-id cluster rule lexicographic, diverging from the
+        # batch family's numeric min for bigint ids); the index stores a
+        # string copy for schema stability only
         fp = simhash_fingerprints(batch, id_col, text_col).select(
-            F.col(id_col).cast("string").alias(id_col), "simhash"
+            F.col(id_col), "simhash"
         )
         batch_bands = simhash_bands(fp, id_col)
         try:
@@ -345,18 +393,18 @@ def run_neardup_ingest(
         # materialize once instead of re-running the guard per consumer
         accepted = accepted.localCheckpoint(eager=True)
         index_sink.write_batch(
-            batch_bands.join(accepted, "doc_id"), batch_id
+            batch_bands.join(accepted, "doc_id").withColumn(
+                "doc_id", F.col("doc_id").cast("string")
+            ),
+            batch_id,
         )
         if accept_sink is not None:
-            # cast the (string) index id back to the caller's id type so
-            # the semi-join is an exact equi-join, not a coerced one
-            acc_typed = accepted.select(
-                F.col("doc_id")
-                .cast(batch.schema[id_col].dataType)
-                .alias(id_col)
-            )
             accept_sink.write_batch(
-                batch.join(acc_typed, id_col, "left_semi"), batch_id
+                batch.join(
+                    accepted.withColumnRenamed("doc_id", id_col),
+                    id_col, "left_semi",
+                ),
+                batch_id,
             )
 
     q = (

@@ -1332,6 +1332,83 @@ class TestNearDupIngestGuard:
         # accepted rows keep the caller's bigint id type
         assert acc.read_committed(spark).schema["vec_id"].dataType.typeName() == "long"
 
+    def test_retry_with_own_index_rows_reproduces_decisions(self, spark):
+        """Review r4: a foreachBatch RETRY after the index write
+        committed re-reads this very batch's rows from the index. The
+        same-id exclusion must make the decision core idempotent — the
+        retried batch reproduces the original accepted set instead of
+        hamming-0-rejecting every accepted doc (which would commit an
+        empty accept batch and permanently lose the documents)."""
+        from real_time_sliding_window_spark.operators.dedup import (
+            simhash_bands,
+        )
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            _accepted_ids,
+        )
+
+        def fp(rows_):
+            return spark.createDataFrame(
+                pd.DataFrame(rows_, columns=["doc_id", "simhash"]),
+                schema="doc_id string, simhash long",
+            )
+
+        # A~B (hamming 3), C unique (hamming 4 from A, 7 from B)
+        batch = simhash_bands(fp([("A", 0), ("B", 7), ("C", 15 << 40)]))
+        first = _accepted_ids(batch, None, 3, None).toPandas()
+        assert sorted(first.doc_id) == ["A", "C"]
+        # retry: the index now holds exactly this batch's accepted rows
+        committed = batch.join(
+            spark.createDataFrame(pd.DataFrame({"doc_id": first.doc_id})),
+            "doc_id",
+        )
+        retry = _accepted_ids(batch, committed, 3, None).toPandas()
+        assert sorted(retry.doc_id) == ["A", "C"]  # identical decisions
+
+    def test_numeric_min_id_not_lexicographic(self, spark, tmp_path):
+        """Review r4: bigint doc_ids must resolve clusters by NUMERIC
+        min (min(9,10)=9), not string min ('10'<'9') — the guard keeps
+        the caller's id type end to end now."""
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+
+        schema = "doc_id long, text string"
+        b1 = pd.DataFrame({"doc_id": [10, 9],
+                           "text": [self.UNIQ["a"], self.UNIQ["a"]]})
+        feed = FileFeed(spark, str(tmp_path / "nid_in"))
+        idx = ExactlyOnceParquetSink(str(tmp_path / "nid_idx"))
+        acc = ExactlyOnceParquetSink(str(tmp_path / "nid_acc"))
+        feed.push(spark.createDataFrame(b1, schema=schema))
+        run_neardup_ingest(
+            feed.stream(schema), idx, str(tmp_path / "nid_ckpt"),
+            accept_sink=acc,
+        )
+        accepted = acc.read_committed(spark).toPandas()
+        assert list(accepted.doc_id) == [9]
+        assert accepted.doc_id.dtype.kind == "i"  # caller's bigint kept
+
+    def test_hot_banded_doc_survives_cap(self, spark):
+        """Review r4: max_bucket caps candidate generation, never the
+        acceptance universe — docs whose every band is hot must still be
+        accepted (they just meet no candidates), not silently dropped."""
+        from real_time_sliding_window_spark.operators.dedup import (
+            simhash_bands,
+        )
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            _accepted_ids,
+        )
+
+        # 30 docs with IDENTICAL simhash -> every band bucket holds 30
+        rows = [(f"d{i:02d}", 0) for i in range(30)]
+        bands = simhash_bands(spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "simhash"]),
+            schema="doc_id string, simhash long",
+        ))
+        acc = sorted(_accepted_ids(bands, None, 3, 8).toPandas().doc_id)
+        # no candidates generated (all buckets hot) -> ALL accepted;
+        # the pre-review draft dropped every doc here
+        assert acc == sorted(f"d{i:02d}" for i in range(30))
+
     def test_cross_batch_chain_is_greedy(self, spark):
         """The documented divergence: A~B, B~C, A!~C with C in a later
         batch — batch CC keeps {A}; greedy ingest keeps {A, C}. Driven
