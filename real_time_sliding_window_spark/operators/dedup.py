@@ -427,7 +427,14 @@ def keep_best_per_cluster(
     the argmax is one row_number window PARTITIONED by cluster_id (no
     global window), partial-agg-friendly and skew-bounded by the
     largest cluster. ``cluster_kw`` forwards to ``neardup_clusters``
-    (shingle_k / min_jaccard / max_df / weight_col)."""
+    (shingle_k / min_jaccard / max_df / weight_col).
+
+    Docs missing from ``scores`` are KEPT with a null score (advice r4:
+    an inner join silently dropped them while cluster_size still counted
+    them, and an all-unscored cluster vanished with no keep row). Null
+    scores lose the desc ordering (desc = nulls LAST in Spark), so an
+    unscored member never beats a scored one; an all-unscored cluster
+    falls back to the min-id rule via the id tiebreak."""
     from pyspark.sql.window import Window as SqlWindow
 
     comp = neardup_clusters(df, id_col=id_col, **cluster_kw)
@@ -435,7 +442,7 @@ def keep_best_per_cluster(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return (
-        comp.join(scores.select(id_col, score_col), id_col)
+        comp.join(scores.select(id_col, score_col), id_col, "left")
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(id_col, "cluster_id", "cluster_size", score_col, "keep")
     )

@@ -83,12 +83,19 @@ def mixture_sample(
     zero shuffle, trivially oracle-replayable. Down-sampling only (a
     rate > 100 keeps everything; up-weighting a source is the trainer's
     repeat-factor, not the sampler's job).
+
+    Rates are PERCENTAGES regardless of ``n_buckets`` (advice r4): the
+    threshold compares ``bucket * 100 < pct * n_buckets`` in exact int
+    math, so ``pct=80`` keeps ~80% whether the hash space is 100 or
+    1000 buckets — a larger ``n_buckets`` only refines the granularity
+    (and fractional percents become expressible as e.g. pct*10 buckets
+    of 1000).
     """
     b = hash_bucket(key_col, n_buckets)
     rate = F.lit(default_pct)
     for src, pct in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
-    return df.filter(b < rate)
+    return df.filter(b * F.lit(100) < rate * F.lit(n_buckets))
 
 
 def token_budget_select(

@@ -112,11 +112,10 @@ def _asof_fn(horizon_us: int):
             )
             ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
             side = batch["side"].to_numpy(dtype=object)
-            # A NULL tiebreaker arrives as NaN, and np.lexsort sorts NaN
-            # LAST — a null would beat every numeric tiebreaker at equal
-            # ts. The batch as_of_join orders tiebreakers .desc() (nulls
-            # last = weakest), so map NaN -> -inf: null ties LOSE, both
-            # engines agree (ADVICE r03).
+            # The JVM-side pack() already mapped null -> -inf and NaN ->
+            # +inf (see as_of_stream_join), so this column is NaN-free;
+            # nan_to_num stays as a belt-and-braces guard (np.lexsort
+            # sorts NaN last, which would make a stray NaN WIN ties).
             tb = np.nan_to_num(
                 batch["tiebreak"].to_numpy(dtype=np.float64), nan=-np.inf
             )
@@ -250,11 +249,29 @@ def as_of_stream_join(
         for kcol in keys:
             c = F.col(kcol).isNotNull()
             notnull = c if notnull is None else (notnull & c)
+        # NULL vs NaN tiebreakers must be told apart HERE, JVM-side —
+        # after the Arrow transfer both arrive in pandas as float64 NaN.
+        # Batch as_of_join orders .desc(): NaN ranks ABOVE every number
+        # (Spark NaN-greatest) while nulls sort last, so map null -> -inf
+        # (loses ties) and NaN -> +inf (wins) before the stateful op; the
+        # numpy body then never sees a null/NaN tiebreak (ADVICE r4).
+        # Contract note: a literal +inf tiebreaker ties with NaN here
+        # (batch ranks NaN strictly above +inf) — the one undistinguished
+        # edge, documented rather than carried as a third indicator.
+        if tb:
+            tbd = F.col(tb).cast("double")
+            tb_expr = (
+                F.when(tbd.isNull(), F.lit(float("-inf")))
+                .when(F.isnan(tbd), F.lit(float("inf")))
+                .otherwise(tbd)
+            )
+        else:
+            tb_expr = F.lit(0.0)
         return df.filter(notnull).select(
             F.to_json(F.struct(*[F.col(kcol) for kcol in keys])).alias("key"),
             F.lit(side).alias("side"),
             F.col(ts_col).alias("ts"),
-            (F.col(tb).cast("double") if tb else F.lit(0.0)).alias("tiebreak"),
+            tb_expr.alias("tiebreak"),
             F.to_json(F.struct(*[F.col(c) for c in payload])).alias("payload"),
         )
 

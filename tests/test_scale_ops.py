@@ -298,6 +298,33 @@ class TestDedup:
         assert hot.count() == 0  # the single home bucket holds 30 > cap
 
 
+class TestKeepBest:
+    def test_unscored_members_kept_not_dropped(self, docs, spark):
+        """ADVICE r4: docs missing from the scores frame must stay in the
+        output (null score, they lose the argmax), and an all-unscored
+        cluster still yields a keep=true row via the min-id fallback —
+        the previous inner join silently dropped both."""
+        scores = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 7], "score": [10, 3]})
+        )
+        out = dedup.keep_best_per_cluster(
+            docs, scores, min_jaccard=0.2, max_df=128
+        ).toPandas()
+        # every doc appears exactly once — nothing dropped
+        assert sorted(out.doc_id) == list(range(8))
+        # cluster {0,1,2}: only doc 1 scored -> doc 1 keeps, others lose
+        trio = out[out.doc_id.isin([0, 1, 2])]
+        assert trio.cluster_size.tolist() == [3, 3, 3]
+        assert sorted(trio[trio.keep].doc_id) == [1]
+        # unscored members carry a null score
+        assert out[out.doc_id == 0].score.isna().all()
+        # all-unscored singleton cluster (doc 3) still has its keep row
+        assert bool(out[out.doc_id == 3].keep.iloc[0])
+        # exactly one keep per cluster
+        keeps = out.groupby("cluster_id")["keep"].sum()
+        assert (keeps == 1).all()
+
+
 class TestSimilarity:
     def test_brute_force_topk(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -586,6 +613,30 @@ class TestSampling:
         assert sorted(got[got.source == "s1"].doc_id) == sorted(
             only_s1.doc_id
         )
+
+    def test_mixture_sample_rates_are_percent_at_any_bucket_count(self, spark):
+        """ADVICE r4: rates mean PERCENT regardless of n_buckets — pct=80
+        at n_buckets=1000 keeps ~80% (not 8%), and n_buckets=100 keeps
+        exactly the same semantics as before the fix."""
+        from pyspark.sql import functions as SF
+
+        from real_time_sliding_window_spark.operators import sampling
+
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"), SF.lit("s0").alias("source")
+        )
+        for n_buckets in (100, 1000, 256):
+            kept = sampling.mixture_sample(
+                df, "doc_id", "source", {"s0": 80}, n_buckets=n_buckets
+            ).count()
+            assert abs(kept / 4000 - 0.80) < 0.05, (n_buckets, kept)
+        # 0 drops all, 100 keeps all — at every bucket count
+        assert sampling.mixture_sample(
+            df, "doc_id", "source", {"s0": 0}, n_buckets=1000
+        ).count() == 0
+        assert sampling.mixture_sample(
+            df, "doc_id", "source", {"s0": 100}, n_buckets=1000
+        ).count() == 4000
 
     def test_token_budget_select_edges(self, spark):
         """r4: the two-pass stratum plan equals the naive prefix rule on

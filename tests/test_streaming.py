@@ -1671,6 +1671,84 @@ class TestAsOfStreamJoin:
         assert {p: c for p, c in stream_match.items() if c is not None} == \
             batch_match
 
+    def test_nan_and_null_tiebreakers_match_batch(self, spark, tmp_path):
+        """ADVICE r4: at equal right ts, a literal NaN tiebreaker must WIN
+        (Spark desc ranks NaN above every number) while a NULL tiebreaker
+        must LOSE (desc = nulls last) — in BOTH engines. The pandas float64
+        path can't tell them apart, so pack() maps null/NaN JVM-side."""
+        import json
+
+        from real_time_sliding_window_spark.operators.joins import as_of_join
+        from real_time_sliding_window_spark.streaming.asof import (
+            as_of_stream_join,
+        )
+
+        l_schema = "user string, pid long, ts timestamp"
+        r_schema = "user string, cid long, tb double, ts timestamp"
+        lrows = pd.DataFrame({
+            "user": ["a", "b"],
+            "pid": [1, 2],
+            "ts": [T0 + 10 * SEC, T0 + 10 * SEC],
+        })
+        # key a: ties at ts=7 with tb {5.0, NaN, null} -> NaN (cid 12) wins
+        # key b: ties at ts=7 with tb {5.0, null}      -> 5.0 (cid 21) wins
+        # (built from tuples, NOT pandas: a pandas float64 column folds
+        # None into NaN before Spark ever sees the null)
+        ts7 = T0 + 7 * SEC
+        rrows = [
+            ("a", 11, 5.0, ts7),
+            ("a", 12, float("nan"), ts7),
+            ("a", 13, None, ts7),
+            ("b", 21, 5.0, ts7),
+            ("b", 22, None, ts7),
+        ]
+        closer = pd.DataFrame(
+            {"user": ["zz"], "pid": [9], "ts": [T0 + 120 * SEC]}
+        )
+
+        lfeed = FileFeed(spark, str(tmp_path / "nan_l"))
+        rfeed = FileFeed(spark, str(tmp_path / "nan_r"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "nan_out"))
+        ckpt = str(tmp_path / "nan_ckpt")
+
+        def run():
+            res = as_of_stream_join(
+                lfeed.stream(l_schema), rfeed.stream(r_schema),
+                keys=["user"], horizon=timedelta(seconds=20),
+                watermark_delay=timedelta(seconds=2),
+                left_payload=["pid"], right_payload=["cid"],
+                right_tiebreaker="tb",
+            )
+            run_to_sink(res, sink, ckpt, query_name="nanasof")
+
+        rfeed.push(spark.createDataFrame(rrows, schema=r_schema))
+        lfeed.push(spark.createDataFrame(lrows, schema=l_schema))
+        run()
+        lfeed.push(spark.createDataFrame(closer, schema=l_schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[~got.key.str.contains("zz")]
+        stream_match = {
+            json.loads(l)["pid"]: (
+                json.loads(r)["cid"] if isinstance(r, str) else None
+            )
+            for l, r in zip(got.left_json, got.right_json)
+        }
+
+        batch = as_of_join(
+            spark.createDataFrame(lrows, schema=l_schema),
+            spark.createDataFrame(rrows, schema=r_schema),
+            keys=["user"], left_ts="ts", right_ts="ts",
+            horizon=timedelta(seconds=20), tiebreakers=["tb"],
+        ).toPandas()
+        batch_match = dict(zip(batch.l_pid, batch.r_cid))
+
+        assert stream_match == {1: 12, 2: 21}
+        assert stream_match == {
+            int(p): int(c) for p, c in batch_match.items()
+        }
+
     def test_randomized_parity_with_batch(self, spark, tmp_path):
         """200 seeded random events over 10 keys with heavy ts ties, pushed
         in 3 ts-ordered batches: the streamed output must equal the batch
