@@ -35,15 +35,20 @@ Scale shape: the per-batch work is one fingerprint pass over the batch
 (map-only after ``ensure_parallelism``), one equi-join batch-bands ×
 index-bands on (band_idx, band_val), and a CC over the BATCH's candidate
 pairs only (batch-sized, not corpus-sized). The index table is the thing
-you persist: at 100 TB it lives partitioned/bucketed by (band_idx,
-band_val) (storage.py / Iceberg) so each batch's probe join prunes to
-its own buckets instead of scanning the corpus-wide index; the parquet
-twin here reads the accumulated committed batches directly.
+you persist: pass a ``sink.BucketedIndexSink(keys=["band_idx",
+"band_val"])`` and the probe join's index side comes pre-partitioned
+from the scan — ZERO index-side Exchange per batch (plan-pinned by
+test_plans.py; the Iceberg twin is a bucket(n, key) partition
+transform). The directory-per-batch ``ExactlyOnceParquetSink`` also
+works (tests use both) but re-shuffles the accumulated index every
+batch — fine for drains, wrong at corpus scale.
 
-Redelivery: the sink's batch_id marker makes the index append idempotent,
-and a re-ingested doc (same content, later batch) is hamming-0 adjacent
-to its accepted original — rejected by the guard itself. Both are pinned
-by tests.
+Redelivery: the sink's batch_id marker makes the index append idempotent;
+a foreachBatch RETRY of a committed batch short-circuits to the recorded
+decision (the committed index rows) instead of recomputing; and a
+re-ingested doc in a LATER batch — same or new doc_id — is hamming-0
+adjacent to its accepted original and rejected by the guard itself. All
+three are pinned by tests.
 
 Reference anchor: the reference engine has no near-dup notion (its dedup
 is the exact skip-list Set, OnDemandBucketedWindow.kt:53-58); this is
@@ -73,22 +78,21 @@ def _accepted_ids(
     """The guard's decision core, shared by the stream body and tests:
     batch band rows (+ accumulated index band rows) -> accepted doc_ids.
 
-    Two invariants hardened by the r4 review:
+    CONTRACT (advice r4): ``index_bands`` must contain NO rows written by
+    the batch being decided — the runners read the index with batch_id
+    recovered and filter ``batch_id != current`` (and a committed batch
+    never reaches this core at all: the retry short-circuit replays the
+    recorded decision instead of recomputing it). With that contract a
+    same-id index match is always a GENUINE cross-batch redelivery of an
+    accepted doc (hamming-0 adjacent to its original) and is rejected —
+    the at-least-once shape the module docstring promises. The previous
+    unconditional same-id exclusion protected retries but silently
+    re-accepted same-id redeliveries.
 
-    - the acceptance UNIVERSE is every batch doc — ``max_bucket`` caps
-      candidate GENERATION only (a doc whose every band is hot simply
-      meets no candidates and is accepted), it never removes a doc from
-      consideration; the earlier draft capped the batch bands themselves
-      and silently dropped hot-banded docs from both index and output;
-    - the cross-batch join EXCLUDES same-id matches: a foreachBatch
-      RETRY after the index write committed (but before the streaming
-      checkpoint did) re-reads this very batch's rows from the index —
-      without the exclusion every accepted doc hamming-0-rejects ITSELF
-      and the retry commits an empty accept batch, permanently losing
-      the documents. With it, the retry reproduces the original
-      decision set exactly: accepted docs match only themselves
-      (accepted sets are pairwise non-near-dup), rejected docs still
-      match the accepted rows that rejected them first time.
+    Invariant hardened by the r4 review and kept: the acceptance UNIVERSE
+    is every batch doc — ``max_bucket`` caps candidate GENERATION only (a
+    doc whose every band is hot simply meets no candidates and is
+    accepted), it never removes a doc from consideration.
     """
     all_ids = batch_bands.select("doc_id").distinct()
     cand_bands = batch_bands
@@ -123,9 +127,6 @@ def _accepted_ids(
             )
             .filter(
                 F.bit_count(F.expr("n.simhash ^ i.simhash")) <= max_hamming
-            )
-            .filter(
-                F.col("n.doc_id").cast("string") != F.col("i.doc_id")
             )
             .select(F.col("n.doc_id").alias("doc_id"))
             .distinct()
@@ -182,13 +183,15 @@ def _accepted_vec_ids(
     (+ accumulated index rows) -> accepted vec_ids. Same greedy/cluster
     structure as the text core; candidates come from the sign-sketch
     bucket join with flip-1-bit multiprobe, verification is the exact
-    quantized cosine (the embedding_neardup_pairs rule). The r4-review
-    invariants of ``_accepted_ids`` apply identically: the acceptance
+    quantized cosine (the embedding_neardup_pairs rule). The
+    ``_accepted_ids`` contract applies identically: ``index_q`` carries
+    no rows of the batch being decided (runners filter batch_id !=
+    current; committed batches short-circuit), so a same-id index match
+    is a genuine cross-batch redelivery and rejects; the acceptance
     universe is every batch vector (caps bound candidates, never drop
-    rows), the index join excludes same-id matches (foreachBatch-retry
-    self-rejection), and ``max_bucket`` caps the WITHIN-batch join
-    target too (a clone-heavy first batch otherwise does the quadratic
-    blowup the cap exists to prevent — SCALE10X.md)."""
+    rows); ``max_bucket`` caps the WITHIN-batch join target too (a
+    clone-heavy first batch otherwise does the quadratic blowup the cap
+    exists to prevent — SCALE10X.md)."""
     from real_time_sliding_window_spark.functions import columns as C
     from real_time_sliding_window_spark.operators.dedup import cool_buckets
 
@@ -217,9 +220,6 @@ def _accepted_vec_ids(
         cand = (
             probing.alias("n")
             .join(target.alias("i"), "bucket")
-            .filter(
-                F.col("n.vec_id").cast("string") != F.col("i.vec_id")
-            )
             .select(
                 F.col("n.vec_id").alias("vec_id"),
                 F.col("n.qv").alias("qa"),
@@ -305,6 +305,28 @@ def run_embedding_ingest(
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
+        # RETRY SHORT-CIRCUIT (advice r4): if this batch's index write
+        # already committed (crash between index commit and checkpoint
+        # commit), the committed rows ARE the decision record — replay
+        # them instead of recomputing. Recomputing against an index that
+        # contains this batch diverges on transitive within-batch
+        # clusters (A~B, B~R, A!~R: the retry rejects B via the index
+        # but R no longer meets B and wrongly survives).
+        if batch_id in set(index_sink.committed_batches()):
+            acc_str = (
+                index_sink.read_batch(spark, batch_id)
+                .select("vec_id").distinct()
+            )
+            if accept_sink is not None:
+                accept_sink.write_batch(
+                    batch.join(
+                        acc_str,
+                        batch[id_col].cast("string") == acc_str["vec_id"],
+                        "left_semi",
+                    ),
+                    batch_id,
+                )
+            return
         # NATIVE id type end to end (review r4: a string cast here made
         # the min-id cluster rule LEXICOGRAPHIC — min('10','9')='10' —
         # silently diverging from the batch family's numeric min); the
@@ -314,7 +336,14 @@ def run_embedding_ingest(
             C.quantize(vec_col).alias("qv"),
         ).withColumn("bucket", C.sign_sketch("qv", n_planes))
         try:
-            index_q = index_sink.read_committed(spark)
+            # exclude any torn rows of THIS batch (bucketed-append sink
+            # crash window) so the decision core's no-own-rows contract
+            # holds; earlier batches pass through untouched
+            index_q = (
+                index_sink.read_committed(spark, with_batch_id=True)
+                .filter(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+            )
         except FileNotFoundError:
             index_q = None
         accepted = _accepted_vec_ids(
@@ -367,12 +396,38 @@ def run_neardup_ingest(
     training pipeline reads. Assumes each doc_id arrives in one
     micro-batch (the document-feed ingest contract, as
     run_postings_index); at-least-once sources put ``deduped_stream``
-    upstream — though a byte-identical redelivery in a later batch is
-    also caught here as a hamming-0 near-dup.
+    upstream for row-level exactness — and a byte-identical redelivery
+    in a later batch, under its original doc_id or a fresh one, is also
+    caught here as a hamming-0 near-dup of its accepted original
+    (advice r4: same-id matches are no longer excluded; retries of a
+    committed batch short-circuit to the recorded decision instead).
+
+    ``index_sink``: a ``BucketedIndexSink(keys=["band_idx", "band_val"])``
+    for the production no-index-shuffle probe plan, or an
+    ``ExactlyOnceParquetSink`` for a small drain (module docstring).
     """
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
+        # RETRY SHORT-CIRCUIT (advice r4): a committed index batch is the
+        # decision record — replay it rather than recompute (recomputing
+        # against an index holding this batch's own rows diverges on
+        # transitive within-batch clusters; see run_embedding_ingest)
+        if batch_id in set(index_sink.committed_batches()):
+            acc_str = (
+                index_sink.read_batch(spark, batch_id)
+                .select("doc_id").distinct()
+            )
+            if accept_sink is not None:
+                accept_sink.write_batch(
+                    batch.join(
+                        acc_str,
+                        batch[id_col].cast("string") == acc_str["doc_id"],
+                        "left_semi",
+                    ),
+                    batch_id,
+                )
+            return
         # NATIVE id type end to end (review r4: the earlier string cast
         # made the min-id cluster rule lexicographic, diverging from the
         # batch family's numeric min for bigint ids); the index stores a
@@ -382,7 +437,14 @@ def run_neardup_ingest(
         )
         batch_bands = simhash_bands(fp, id_col)
         try:
-            index_bands = index_sink.read_committed(spark)
+            # exclude torn rows of THIS batch (bucketed-append crash
+            # window) — the decision core requires an index with no rows
+            # of the batch being decided
+            index_bands = (
+                index_sink.read_committed(spark, with_batch_id=True)
+                .filter(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+            )
         except FileNotFoundError:
             index_bands = None
         accepted = _accepted_ids(

@@ -1332,37 +1332,157 @@ class TestNearDupIngestGuard:
         # accepted rows keep the caller's bigint id type
         assert acc.read_committed(spark).schema["vec_id"].dataType.typeName() == "long"
 
-    def test_retry_with_own_index_rows_reproduces_decisions(self, spark):
-        """Review r4: a foreachBatch RETRY after the index write
-        committed re-reads this very batch's rows from the index. The
-        same-id exclusion must make the decision core idempotent — the
-        retried batch reproduces the original accepted set instead of
-        hamming-0-rejecting every accepted doc (which would commit an
-        empty accept batch and permanently lose the documents)."""
-        from real_time_sliding_window_spark.operators.dedup import (
-            simhash_bands,
-        )
+    def test_retry_shortcircuit_replays_committed_decision(self, spark,
+                                                           tmp_path):
+        """Advice r4: a foreachBatch RETRY of a batch whose index write
+        committed (crash between index commit and accept/checkpoint
+        commit) replays the RECORDED decision — the committed index rows
+        — instead of recomputing against an index that now contains this
+        very batch. Pinned by simulating the crash: wipe the checkpoint
+        and the accept sink's commit, re-run, require the original
+        accepted set and an unchanged index."""
+        import shutil
+
         from real_time_sliding_window_spark.streaming.neardup_guard import (
-            _accepted_ids,
+            run_neardup_ingest,
         )
 
-        def fp(rows_):
-            return spark.createDataFrame(
-                pd.DataFrame(rows_, columns=["doc_id", "simhash"]),
-                schema="doc_id string, simhash long",
-            )
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["d0", "d1", "d2"],
+                           "text": [U["a"], U["a"], U["b"]]})
+        feed = FileFeed(spark, str(tmp_path / "rt_in"))
+        idx = ExactlyOnceParquetSink(str(tmp_path / "rt_idx"))
+        acc = ExactlyOnceParquetSink(str(tmp_path / "rt_acc"))
+        ckpt = str(tmp_path / "rt_ckpt")
+        feed.push(spark.createDataFrame(b1, schema=self.SCHEMA))
+        run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                           accept_sink=acc)
+        orig = sorted(set(acc.read_committed(spark).toPandas().doc_id))
+        assert orig == ["d0", "d2"]
+        n_idx = len(idx.read_committed(spark).toPandas())
 
-        # A~B (hamming 3), C unique (hamming 4 from A, 7 from B)
-        batch = simhash_bands(fp([("A", 0), ("B", 7), ("C", 15 << 40)]))
-        first = _accepted_ids(batch, None, 3, None).toPandas()
-        assert sorted(first.doc_id) == ["A", "C"]
-        # retry: the index now holds exactly this batch's accepted rows
-        committed = batch.join(
-            spark.createDataFrame(pd.DataFrame({"doc_id": first.doc_id})),
-            "doc_id",
+        # crash simulation: index committed; accept + checkpoint lost
+        shutil.rmtree(ckpt)
+        shutil.rmtree(acc.root)
+        acc2 = ExactlyOnceParquetSink(str(tmp_path / "rt_acc"))
+        run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                           accept_sink=acc2)
+        assert sorted(set(
+            acc2.read_committed(spark).toPandas().doc_id
+        )) == orig
+        assert len(idx.read_committed(spark).toPandas()) == n_idx
+
+    def test_same_id_cross_batch_redelivery_rejected(self, spark,
+                                                     tmp_path):
+        """Advice r4: an at-least-once source redelivering a doc in a
+        LATER batch under its ORIGINAL doc_id must be caught as a
+        hamming-0 near-dup of its accepted original — no duplicate rows
+        in the accept sink, no duplicate band rows in the index."""
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["x1", "x2"],
+                           "text": [U["a"], U["b"]]})
+        b2 = pd.DataFrame({"doc_id": ["x1"], "text": [U["a"]]})  # same id!
+        _, idx, acc, _ = self._run(spark, tmp_path, [b1, b2], "sameid")
+        accepted = acc.read_committed(spark).toPandas()
+        assert sorted(accepted.doc_id) == ["x1", "x2"]  # exactly once
+        bands = idx.read_committed(spark).toPandas()
+        assert len(bands) == 8  # 2 docs x 4 bands, batch 2 added none
+
+    def test_embedding_retry_transitive_cluster(self, spark, tmp_path):
+        """Advice r4's exact divergence scenario, pinned: a transitive
+        within-batch cluster A~B, B~R, A!~R (min-id keeps only A). A
+        naive retry recompute against an index holding A's rows rejects
+        B but lets R survive (R no longer meets B) — accepting {A, R}.
+        The short-circuit must reproduce {A}."""
+        import shutil
+
+        import numpy as np
+
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_embedding_ingest,
         )
-        retry = _accepted_ids(batch, committed, 3, None).toPandas()
-        assert sorted(retry.doc_id) == ["A", "C"]  # identical decisions
+
+        # unit vectors at 0 / 25 / 50 degrees in a 16-dim plane:
+        # cos(A,B) = cos(B,R) = cos(25°) ≈ .906 >= .86; cos(A,R) ≈ .643 < .86
+        def rot(deg):
+            v = np.zeros(16, dtype=np.float64)
+            v[0] = np.cos(np.radians(deg))
+            v[1] = np.sin(np.radians(deg))
+            return list(v)
+
+        schema = "vec_id long, embedding array<float>"
+        b1 = pd.DataFrame(
+            {"vec_id": [0, 1, 2],
+             "embedding": [rot(0), rot(25), rot(50)]}
+        )
+        feed = FileFeed(spark, str(tmp_path / "tr_in"))
+        idx = ExactlyOnceParquetSink(str(tmp_path / "tr_idx"))
+        acc = ExactlyOnceParquetSink(str(tmp_path / "tr_acc"))
+        ckpt = str(tmp_path / "tr_ckpt")
+        # n_planes=1: flip-1-bit multiprobe covers the whole bucket space,
+        # so EVERY pair is a candidate and the exact cosine filter alone
+        # decides — the transitive structure is guaranteed, not luck
+        kw = dict(accept_sink=acc, min_cosine=0.86, n_planes=1)
+        feed.push(spark.createDataFrame(b1, schema=schema))
+        run_embedding_ingest(feed.stream(schema), idx, ckpt, **kw)
+        # construction check: the cluster resolved transitively to {0}
+        # (if (1,2) had not been a candidate pair, 2 would survive)
+        assert sorted(acc.read_committed(spark).toPandas().vec_id) == [0]
+
+        # crash between index commit and accept/checkpoint commit
+        shutil.rmtree(ckpt)
+        shutil.rmtree(acc.root)
+        acc2 = ExactlyOnceParquetSink(str(tmp_path / "tr_acc"))
+        kw["accept_sink"] = acc2
+        run_embedding_ingest(feed.stream(schema), idx, ckpt, **kw)
+        got = sorted(acc2.read_committed(spark).toPandas().vec_id)
+        assert got == [0]  # NOT [0, 2]
+        assert sorted(set(
+            idx.read_committed(spark).toPandas().vec_id
+        )) == ["0"]
+
+    def test_bucketed_index_sink_parity(self, spark, tmp_path):
+        """The BucketedIndexSink (production no-index-shuffle layout)
+        produces decision-identical results to the parquet sink across
+        multi-batch greedy ingest, including exactly-once re-runs."""
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+        from real_time_sliding_window_spark.streaming.sink import (
+            BucketedIndexSink,
+        )
+
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["d0", "d1", "d2"],
+                           "text": [U["a"], U["a"], U["b"]]})
+        b2 = pd.DataFrame({"doc_id": ["d3", "d4"],
+                           "text": [U["a"], U["c"]]})
+        b3 = pd.DataFrame({"doc_id": ["d5"], "text": [U["c"]]})
+        feed = FileFeed(spark, str(tmp_path / "bk_in"))
+        idx = BucketedIndexSink(
+            str(tmp_path / "bk_idx"), "bk_idx_table",
+            keys=["band_idx", "band_val"], n_buckets=4,
+        )
+        acc = ExactlyOnceParquetSink(str(tmp_path / "bk_acc"))
+        ckpt = str(tmp_path / "bk_ckpt")
+        try:
+            for push in (b1, b2, b3):
+                feed.push(spark.createDataFrame(push, schema=self.SCHEMA))
+                run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                                   accept_sink=acc)
+            accepted = sorted(set(
+                acc.read_committed(spark).toPandas().doc_id
+            ))
+            assert accepted == ["d0", "d2", "d4"]  # == parquet-sink run
+            idx_rows = idx.read_committed(spark).toPandas()
+            assert sorted(set(idx_rows.doc_id)) == accepted
+            assert (idx_rows.groupby("doc_id").size() == 4).all()
+            # re-run with no new files: exactly-once no-op
+            run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                               accept_sink=acc)
+            assert len(idx.read_committed(spark).toPandas()) == len(idx_rows)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bk_idx_table")
 
     def test_numeric_min_id_not_lexicographic(self, spark, tmp_path):
         """Review r4: bigint doc_ids must resolve clusters by NUMERIC
