@@ -269,6 +269,74 @@ def bench_neardup_guard(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_neardup_guard_bulk(spark, sf_dir: str) -> dict:
+    """Guard throughput at REALISTIC trigger size (VERDICT r04 #2/#3):
+    ONE micro-batch of the 10x word-salted tiled corpus (50k docs at
+    sf0.1) through run_neardup_ingest into an empty BucketedIndexSink —
+    the small-batch row above is dominated by the per-batch constant
+    (~6s: CC rounds + query startup), this row amortizes it. Tiling
+    doctrine: cross-tile copies are NOT near-dups (alphanumeric per-tile
+    word salt); within-tile near-dup families replicate per tile
+    (tools/guard_bench.py, BENCH/GUARD.md)."""
+    import pyspark.sql.functions as F
+
+    from real_time_sliding_window_spark.streaming.neardup_guard import (
+        run_neardup_ingest,
+    )
+    from real_time_sliding_window_spark.streaming.sink import (
+        BucketedIndexSink,
+    )
+    from real_time_sliding_window_spark.util import ensure_parallelism
+
+    mult = int(os.environ.get("RTSW_GUARD_BULK_MULT", "10"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    parts = [base]
+    for k in range(1, mult):
+        parts.append(
+            base.select(
+                F.concat(F.lit(f"t{k}-"), "doc_id").alias("doc_id"),
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), (w, i) -> "
+                        f"if((xxhash64(w, i, {k}) & 1) = 0, w, "
+                        f"concat(w, 'q{k}q')))"
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionAll(p)
+    corpus = ensure_parallelism(corpus).localCheckpoint(eager=True)
+    n_docs = corpus.count()
+    src = tempfile.mkdtemp(prefix="rtsw_ndgb_src_")
+    idx_root = tempfile.mkdtemp(prefix="rtsw_ndgb_idx_")
+    ckpt = tempfile.mkdtemp(prefix="rtsw_ndgb_ck_")
+    _CLEANUP_DIRS.extend([src, idx_root, ckpt])
+    corpus.write.mode("overwrite").parquet(src)
+    idx = BucketedIndexSink(
+        idx_root, "bench_guard_bulk_idx", ["band_idx", "band_val"],
+        n_buckets=32,
+    )
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    t0 = time.monotonic()
+    run_neardup_ingest(stream, idx, ckpt, max_bucket=1024)
+    dt = time.monotonic() - t0
+    n_accepted = (
+        idx.read_committed(spark).select("doc_id").distinct().count()
+    )
+    spark.sql("DROP TABLE IF EXISTS bench_guard_bulk_idx")
+    return {
+        "neardup_guard_bulk_docs": n_docs,
+        "neardup_guard_bulk_sec": round(dt, 2),
+        "neardup_guard_bulk_docs_per_sec": round(n_docs / dt),
+        "neardup_guard_bulk_accepted": n_accepted,
+    }
+
+
 def _emit_latency_once(spark, rows_per_second: int, run_secs: int) -> list[float]:
     """One live-trigger run; returns raw per-window emit latencies (sec).
 
@@ -397,6 +465,7 @@ def main() -> None:
     queries = bench_batch(spark, sf_dir)
     streaming = bench_streaming(spark, n_convs, mean_turns)
     streaming.update(bench_neardup_guard(spark, sf_dir))
+    streaming.update(bench_neardup_guard_bulk(spark, sf_dir))
     streaming.update(bench_emit_latency(spark))
     total = round(time.monotonic() - t0, 2)
 
