@@ -142,8 +142,15 @@ def heavy_hitters_stream(
 ) -> DataFrame:
     """Wire the Misra-Gries summary onto a stream: one shuffle on
     ``group_col`` feeds the stateful op; each micro-batch emits the
-    group's refreshed summary rows (take the max ``version`` per group
-    downstream)."""
+    group's refreshed summary rows.
+
+    LOG-GROWTH CONTRACT (VERDICT r04 #3): with an append sink the output
+    is a VERSION LOG — up to m rows per group per micro-batch, growing
+    without bound over the stream's life; the current summary is only
+    the max-version slice. ``latest_summaries`` is the bounded reader
+    (O(m × groups) rows out); when the log itself gets long, compact it
+    by rewriting ``latest_summaries`` output and truncating, exactly the
+    lease-guarded pattern of ``streaming/live_view.py`` compaction."""
     from pyspark.sql import functions as F
 
     if m < 1:
@@ -158,4 +165,22 @@ def heavy_hitters_stream(
         stateStructType=HH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_summaries(log: DataFrame) -> DataFrame:
+    """The bounded query surface over a ``heavy_hitters_stream`` version
+    log: exactly the CURRENT summary rows per group (max ``version``),
+    same schema as the log. One window-max per group partition — no
+    global window, no join; the log's unbounded length never reaches the
+    consumer. Use this (or a compacted rewrite of its output) instead of
+    hand-rolling the max-version dance."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group")
+    return (
+        log.withColumn("__maxv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("__maxv"))
+        .drop("__maxv")
     )

@@ -345,6 +345,7 @@ def sharded_ring_buffer_stream(
     max_duration: timedelta | None = None,
     max_data: int | None = None,
     n_shards: int = 8,
+    session_gap: timedelta | None = None,
 ) -> DataFrame:
     """Hot-conversation mitigation (VERDICT r02 #7): sub-key salting with
     per-shard ring buffers.
@@ -373,11 +374,31 @@ def sharded_ring_buffer_stream(
     - ``buffer_size`` reports the SHARD's buffer size, not the
       conversation's; ``shard`` is exposed so callers can sum.
 
+    - **session close (session_gap): UNSUPPORTED — raises** (VERDICT
+      r04 #5). Each shard sees a ~1/n_shards subsample of the
+      conversation, so a shard's last-seen ts UNDER-estimates the
+      conversation's and shard-local closure (wm > shard_last + gap)
+      fires while the conversation is still active — false SESSION_END
+      events with partial content. An exact design needs a second
+      per-conv_id merge stage closing on max over shards of last_ts,
+      with all shards releasing content coordinately; until that stage
+      exists the operator refuses rather than emitting wrong boundaries.
+      A hot conversation needing session semantics uses the unsharded
+      ``ring_buffer_stream`` (session bookkeeping is O(1) per turn — the
+      single-task ceiling applies to content volume, BENCH/SKEW.md).
+
     Use when one conversation's turn rate exceeds one core's state
     throughput; otherwise prefer ``ring_buffer_stream``.
     """
     from real_time_sliding_window_spark.config import interval_str
 
+    if session_gap is not None:
+        raise ValueError(
+            "session_gap is not supported with sharding: a shard-local "
+            "last-ts under-estimates the conversation's and would close "
+            "sessions early (false SESSION_END with partial content). "
+            "Use ring_buffer_stream for session-gap semantics."
+        )
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     per_shard_cap = (

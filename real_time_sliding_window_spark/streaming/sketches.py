@@ -83,11 +83,32 @@ def run_distinct_index(
 
 
 def distinct_estimates(
-    index: DataFrame, key_cols: Sequence[str]
+    index: DataFrame,
+    key_cols: Sequence[str],
+    since_batch: int | None = None,
 ) -> DataFrame:
     """Query side: union each group's per-batch sketches and estimate.
     One partial+final aggregate over fixed-size binary values — the
-    shuffle moves sketches, never value sets."""
+    shuffle moves sketches, never value sets.
+
+    LOG-GROWTH / RETENTION (VERDICT r04 #3): the index grows one row per
+    group per batch forever. ``since_batch`` prunes the union to batches
+    >= that id — pass an index read with
+    ``sink.read_committed(spark, with_batch_id=True)`` so the batch_id
+    column exists (row-group stats prune the scan). Semantics are the
+    sliding-retention ones: the estimate covers values first seen in the
+    KEPT batches (a value seen only before the horizon is forgotten —
+    sketches union values, they cannot subtract). For permanent
+    retention, periodically rewrite each group's prefix as ONE unioned
+    sketch row (``hll_union_agg`` then re-append under the oldest kept
+    batch_id) — merge-history shifts the estimate sub-percent (module
+    docstring) but keeps the log bounded."""
+    if since_batch is not None:
+        if "batch_id" not in index.columns:
+            raise ValueError(
+                "since_batch needs an index read with with_batch_id=True"
+            )
+        index = index.filter(F.col("batch_id") >= since_batch)
     return index.groupBy(*key_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
             "approx_distinct"

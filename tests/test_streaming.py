@@ -403,6 +403,30 @@ class TestShardedRingBuffer:
             stream, timedelta(0), n_shards=n_shards, **kw
         )
 
+    def test_session_gap_refused_with_sharding(self, spark):
+        """VERDICT r04 #5: shard-local last-ts under-estimates the
+        conversation's, so session closure would fire early — the
+        operator must refuse session_gap rather than emit false
+        SESSION_END boundaries."""
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.operators.stateful import (
+            sharded_ring_buffer_stream,
+        )
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1)
+            .load()
+            .selectExpr("'c' as conv_id", "CAST(value AS INT) as turn_idx",
+                        "'u' as role", "'t' as text",
+                        "CAST(NULL AS STRING) as props", "timestamp as ts")
+        )
+        with _pytest.raises(ValueError, match="session_gap.*shard"):
+            sharded_ring_buffer_stream(
+                stream, timedelta(0), n_shards=4,
+                session_gap=timedelta(seconds=5),
+            )
+
     def test_age_and_dedup_match_unsharded(self, spark, tmp_path):
         """Same pushes through plain vs sharded(3): the (action, reason,
         turn_idx) row sets are identical for age eviction and DUPs."""
@@ -1618,6 +1642,46 @@ class TestHeavyHitters:
                     assert item in tracked, (item, true, n / (m + 1))
 
 
+    def test_latest_summaries_bounded_reader(self, spark, tmp_path):
+        """VERDICT r04 #3: the version log grows m rows/group/batch;
+        latest_summaries must return exactly the CURRENT summary per
+        group after multi-batch evolution — max version only, schema
+        unchanged, groups with different version counts handled."""
+        from real_time_sliding_window_spark.operators.heavy_hitters import (
+            heavy_hitters_stream,
+            latest_summaries,
+        )
+
+        batches = [
+            pd.DataFrame({"grp": ["g1"] * 4 + ["g2"] * 2,
+                          "item": ["a", "a", "b", "c", "x", "y"]}),
+            pd.DataFrame({"grp": ["g1"] * 3,
+                          "item": ["a", "b", "b"]}),   # g2 absent: stays v1
+            pd.DataFrame({"grp": ["g1"] * 2 + ["g2"] * 1,
+                          "item": ["d", "a", "x"]}),
+        ]
+        schema = "grp string, item string"
+        sink, _ = drive(
+            spark, tmp_path, lambda s: heavy_hitters_stream(s, "grp",
+                                                            "item", m=8),
+            batches, "hhl", schema=schema,
+        )
+        log = sink.read_committed(spark)
+        got = latest_summaries(log).toPandas()
+        assert list(got.columns) == list(log.columns)
+        # g1 evolved to version 3, g2 only to version 2
+        assert set(got[got.group == "g1"].version) == {3}
+        assert set(got[got.group == "g2"].version) == {2}
+        # the latest slice carries the full-stream totals and counts
+        g1 = got[got.group == "g1"].set_index("item").est_count.to_dict()
+        assert g1 == {"a": 4, "b": 3, "c": 1, "d": 1}  # m=8: exact
+        assert int(got[got.group == "g1"].n_total.iloc[0]) == 9
+        g2 = got[got.group == "g2"].set_index("item").est_count.to_dict()
+        assert g2 == {"x": 2, "y": 1}
+        # and the log is strictly bigger than the latest view
+        assert len(log.toPandas()) > len(got)
+
+
 class TestDistinctSketchIndex:
     def test_incremental_union_equals_single_pass_and_truth(
         self, spark, tmp_path
@@ -1705,6 +1769,43 @@ class TestDistinctSketchIndex:
                 assert abs(est - truth) / truth < 0.05
             assert abs(got[grp] - got_regrouped[grp]) / truth < 0.02
             assert abs(got[grp] - single[grp]) / truth < 0.02
+
+    def test_since_batch_retention_pruning(self, spark, tmp_path):
+        """VERDICT r04 #3: distinct_estimates(since_batch=k) unions only
+        the kept batches (sliding retention) — values seen solely before
+        the horizon are forgotten; requires a with_batch_id read and
+        raises without one."""
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.streaming.sketches import (
+            distinct_estimates,
+            run_distinct_index,
+        )
+
+        schema = "grp string, user_id long"
+        # disjoint 100-user blocks per batch -> exact expectations
+        pushes = [
+            pd.DataFrame({"grp": ["a"] * 100,
+                          "user_id": list(range(k * 100, (k + 1) * 100))})
+            for k in range(3)
+        ]
+        feed = FileFeed(spark, str(tmp_path / "ret_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "ret_idx"))
+        ckpt = str(tmp_path / "ret_ckpt")
+        for push in pushes:
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_distinct_index(
+                feed.stream(schema), sink, ckpt, ["grp"], "user_id"
+            )
+        idx = sink.read_committed(spark, with_batch_id=True)
+        full = distinct_estimates(idx, ["grp"]).collect()[0]
+        kept = distinct_estimates(idx, ["grp"], since_batch=1).collect()[0]
+        assert abs(int(full.approx_distinct) - 300) / 300 < 0.05
+        assert abs(int(kept.approx_distinct) - 200) / 200 < 0.05
+        with _pytest.raises(ValueError, match="with_batch_id"):
+            distinct_estimates(
+                sink.read_committed(spark), ["grp"], since_batch=1
+            )
 
 
 class TestAsOfStreamJoin:
