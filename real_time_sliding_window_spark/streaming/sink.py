@@ -161,10 +161,10 @@ class BucketedIndexSink:
 
     Operational note: each append writes ``n_buckets`` files (the writer
     repartitions on the bucket keys first), so file count grows
-    n_buckets x n_batches; compact on the same lease pattern as
-    live_view.py when batch count gets large. This is the parquet twin of
-    an Iceberg table with a ``bucket(n, key)`` partition transform
-    (streaming/iceberg.py holds the gated runtime recipe).
+    n_buckets x n_batches; ``compact()`` rewrites the accumulated rows as
+    one n_buckets-file generation between drains. This is the parquet
+    twin of an Iceberg table with a ``bucket(n, key)`` partition
+    transform (streaming/iceberg.py holds the gated runtime recipe).
     """
 
     def __init__(
@@ -175,33 +175,107 @@ class BucketedIndexSink:
         n_buckets: int = 32,
     ):
         self.root = root
-        self.table = table
+        self.base_table = table
         self.keys = list(keys)
         self.n_buckets = n_buckets
-        self.data_dir = os.path.join(root, "data")
         self.commit_dir = os.path.join(root, "_commits")
         os.makedirs(self.commit_dir, exist_ok=True)
+
+    # -- generations (compaction) -----------------------------------------
+    # The active generation lives in root/GENERATION (absent = 0);
+    # generation g stores rows under data_g{g} as table {base}_g{g}.
+    # compact() writes generation g+1 and flips the pointer atomically.
+
+    @property
+    def _gen(self) -> int:
+        try:
+            with open(os.path.join(self.root, "GENERATION")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    @property
+    def table(self) -> str:
+        g = self._gen
+        return self.base_table if g == 0 else f"{self.base_table}_g{g}"
+
+    @property
+    def data_dir(self) -> str:
+        g = self._gen
+        return os.path.join(self.root, "data" if g == 0 else f"data_g{g}")
 
     def _commit_marker(self, batch_id: int) -> str:
         return os.path.join(self.commit_dir, f"{batch_id}.json")
 
-    def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._commit_marker(batch_id)):
-            return  # exactly-once no-op on redelivery
-        out = df.withColumn("batch_id", F.lit(batch_id))
+    def _write(self, df: DataFrame, table: str, data_dir: str) -> None:
         (
-            out.repartition(self.n_buckets, *self.keys)
+            df.repartition(self.n_buckets, *self.keys)
             .write.mode("append")
             .format("parquet")
             .bucketBy(self.n_buckets, *self.keys)
             .sortBy(*self.keys)
-            .option("path", self.data_dir)
-            .saveAsTable(self.table)
+            .option("path", data_dir)
+            .saveAsTable(table)
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._commit_marker(batch_id)):
+            return  # exactly-once no-op on redelivery
+        self._write(
+            df.withColumn("batch_id", F.lit(batch_id)),
+            self.table,
+            self.data_dir,
         )
         marker_tmp = self._commit_marker(batch_id) + ".tmp"
         with open(marker_tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
         os.rename(marker_tmp, self._commit_marker(batch_id))
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite all COMMITTED rows as one fresh n_buckets-file
+        generation, preserving the ``batch_id`` column (so
+        ``read_batch``/retry replay keep working), then atomically flip
+        the generation pointer. Returns the new generation number.
+
+        Single-writer contract (same as the sink itself): the stream's
+        foreachBatch writes sequentially — call compact() BETWEEN drains,
+        from the writer's side. A torn compaction (crash before the flip)
+        leaves an orphan data_g{N} dir and the old generation live —
+        re-running compact() overwrites it; readers never see a partial
+        generation because the pointer flips last, via rename. Old
+        generation dirs are removed after the flip; a concurrent reader
+        mid-plan on the old generation should re-read (the same
+        re-read-on-miss contract as live_view compaction)."""
+        batches = self.committed_batches()
+        if not batches:
+            return self._gen
+        old_gen, new_gen = self._gen, self._gen + 1
+        new_table = f"{self.base_table}_g{new_gen}"
+        new_dir = os.path.join(self.root, f"data_g{new_gen}")
+        spark.sql(f"DROP TABLE IF EXISTS {new_table}")
+        if os.path.exists(new_dir):
+            shutil.rmtree(new_dir)  # torn previous compaction attempt
+        # read the RAW parquet, not spark.table: a bucketed scan reports
+        # HashPartitioning(keys) and Catalyst then elides the writer's
+        # repartition as redundant — tasks become one-per-input-file and
+        # the "compacted" generation has as many files as the old one
+        rows = spark.read.parquet(self.data_dir).filter(
+            F.col("batch_id") <= max(batches)
+        )
+        self._write(rows, new_table, new_dir)
+        tmp = os.path.join(self.root, "GENERATION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_gen))
+        os.rename(tmp, os.path.join(self.root, "GENERATION"))
+        old_table = (
+            self.base_table if old_gen == 0 else f"{self.base_table}_g{old_gen}"
+        )
+        old_dir = os.path.join(
+            self.root, "data" if old_gen == 0 else f"data_g{old_gen}"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return new_gen
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)

@@ -1508,6 +1508,69 @@ class TestNearDupIngestGuard:
         finally:
             spark.sql("DROP TABLE IF EXISTS bk_idx_table")
 
+    def test_bucketed_index_sink_compaction(self, spark, tmp_path):
+        """r5: compact() rewrites the accumulated index as ONE
+        n_buckets-file generation — rows identical (batch_id preserved,
+        so read_batch/retry replay still work), file count reset, and
+        subsequent guard batches append to the new generation."""
+        import glob
+
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+        from real_time_sliding_window_spark.streaming.sink import (
+            BucketedIndexSink,
+        )
+
+        U = self.UNIQ
+        b1 = pd.DataFrame({"doc_id": ["d0", "d1", "d2"],
+                           "text": [U["a"], U["a"], U["b"]]})
+        b2 = pd.DataFrame({"doc_id": ["d3", "d4"],
+                           "text": [U["a"], U["c"]]})
+        b3 = pd.DataFrame({"doc_id": ["d5"], "text": [U["d"]]})
+        feed = FileFeed(spark, str(tmp_path / "cp_in"))
+        idx = BucketedIndexSink(
+            str(tmp_path / "cp_idx"), "cp_idx_table",
+            keys=["band_idx", "band_val"], n_buckets=4,
+        )
+        acc = ExactlyOnceParquetSink(str(tmp_path / "cp_acc"))
+        ckpt = str(tmp_path / "cp_ckpt")
+        try:
+            for push in (b1, b2):
+                feed.push(spark.createDataFrame(push, schema=self.SCHEMA))
+                run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                                   accept_sink=acc)
+            key = lambda df: sorted(
+                map(tuple, df.toPandas().itertuples(index=False))
+            )
+            before = key(idx.read_committed(spark, with_batch_id=True))
+            gen = idx.compact(spark)
+            assert gen == 1
+            # rows identical, batch_id preserved, per-batch readback works
+            assert key(
+                idx.read_committed(spark, with_batch_id=True)
+            ) == before
+            assert idx.read_batch(spark, 1).select(
+                "doc_id"
+            ).distinct().count() == 1  # batch 1 accepted only d4
+            # one generation's worth of files
+            files = glob.glob(
+                str(tmp_path / "cp_idx" / "data_g1" / "*.parquet")
+            )
+            assert 0 < len(files) <= 4
+            # the guard keeps working against the compacted generation
+            feed.push(spark.createDataFrame(b3, schema=self.SCHEMA))
+            run_neardup_ingest(feed.stream(self.SCHEMA), idx, ckpt,
+                               accept_sink=acc)
+            accepted = sorted(set(
+                acc.read_committed(spark).toPandas().doc_id
+            ))
+            assert accepted == ["d0", "d2", "d4", "d5"]
+            assert len(idx.committed_batches()) == 3
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cp_idx_table")
+            spark.sql("DROP TABLE IF EXISTS cp_idx_table_g1")
+
     def test_numeric_min_id_not_lexicographic(self, spark, tmp_path):
         """Review r4: bigint doc_ids must resolve clusters by NUMERIC
         min (min(9,10)=9), not string min ('10'<'9') — the guard keeps
