@@ -69,11 +69,41 @@ from real_time_sliding_window_spark.operators.dedup import (
 INDEX_SCHEMA = "doc_id string, simhash long, band_idx int, band_val long"
 
 
+def _cool_from_counts(
+    index_counts: DataFrame | None,
+    batch_bands: DataFrame,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Cool-bucket set from PRE-AGGREGATED index occupancy counts
+    (band_idx, band_val, n) plus the live batch's band rows — equal by
+    construction to ``cool_buckets(index_bands ∪ batch_bands)`` because
+    the occupancy increments are exactly the band rows appended to the
+    index (VERDICT r05: removes the last O(index)-per-batch aggregation
+    from the guard; per-batch occupancy work is O(batch + increments))."""
+    batch_counts = batch_bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    allc = (
+        batch_counts
+        if index_counts is None
+        else batch_counts.unionByName(
+            index_counts.select("band_idx", "band_val", "n")
+        )
+    )
+    return (
+        allc.groupBy("band_idx", "band_val")
+        .agg(F.sum("n").alias("__occ"))
+        .filter(F.col("__occ") <= max_bucket)
+        .select("band_idx", "band_val")
+    )
+
+
 def _accepted_ids(
     batch_bands: DataFrame,
     index_bands: DataFrame | None,
     max_hamming: int,
     max_bucket: int | None,
+    index_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """The guard's decision core, shared by the stream body and tests:
     batch band rows (+ accumulated index band rows) -> accepted doc_ids.
@@ -98,17 +128,26 @@ def _accepted_ids(
     cand_bands = batch_bands
     if max_bucket is not None:
         # occupancy over index ∪ batch — the prefix-corpus view of the
-        # batch twin's cap; buckets only get hotter as the index grows
-        from real_time_sliding_window_spark.operators.dedup import (
-            cool_buckets,
-        )
-
-        all_bands = batch_bands.select("band_idx", "band_val")
-        if index_bands is not None:
-            all_bands = all_bands.unionByName(
-                index_bands.select("band_idx", "band_val")
+        # batch twin's cap; buckets only get hotter as the index grows.
+        # With pre-aggregated counts (occupancy_sink wired) this is
+        # O(batch + increments); the fallback re-aggregates the index.
+        if index_occupancy is not None:
+            cool = _cool_from_counts(
+                index_occupancy, batch_bands, max_bucket
             )
-        cool = cool_buckets(all_bands, ["band_idx", "band_val"], max_bucket)
+        else:
+            from real_time_sliding_window_spark.operators.dedup import (
+                cool_buckets,
+            )
+
+            all_bands = batch_bands.select("band_idx", "band_val")
+            if index_bands is not None:
+                all_bands = all_bands.unionByName(
+                    index_bands.select("band_idx", "band_val")
+                )
+            cool = cool_buckets(
+                all_bands, ["band_idx", "band_val"], max_bucket
+            )
         cand_bands = batch_bands.join(cool, ["band_idx", "band_val"])
         if index_bands is not None:
             index_bands = index_bands.join(cool, ["band_idx", "band_val"])
@@ -178,6 +217,7 @@ def _accepted_vec_ids(
     min_cosine: float,
     n_planes: int,
     max_bucket: int | None,
+    index_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-mode decision core: batch (vec_id, qv, bucket) rows
     (+ accumulated index rows) -> accepted vec_ids. Same greedy/cluster
@@ -201,11 +241,30 @@ def _accepted_vec_ids(
     all_ids = batch_q.select("vec_id").distinct()
     cool = None
     if max_bucket is not None:
-        # occupancy over index ∪ batch home buckets (prefix-corpus view)
-        all_buckets = batch_q.select("bucket")
-        if index_q is not None:
-            all_buckets = all_buckets.unionByName(index_q.select("bucket"))
-        cool = cool_buckets(all_buckets, ["bucket"], max_bucket)
+        # occupancy over index ∪ batch home buckets (prefix-corpus view);
+        # pre-aggregated counts (occupancy_sink) make this O(batch +
+        # increments) instead of O(index) per batch — same doctrine as
+        # the text core's _cool_from_counts
+        if index_occupancy is not None:
+            batch_counts = batch_q.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            cool = (
+                batch_counts.unionByName(
+                    index_occupancy.select("bucket", "n")
+                )
+                .groupBy("bucket")
+                .agg(F.sum("n").alias("__occ"))
+                .filter(F.col("__occ") <= max_bucket)
+                .select("bucket")
+            )
+        else:
+            all_buckets = batch_q.select("bucket")
+            if index_q is not None:
+                all_buckets = all_buckets.unionByName(
+                    index_q.select("bucket")
+                )
+            cool = cool_buckets(all_buckets, ["bucket"], max_bucket)
 
     def _cos(qa, qb):
         return C.int_dot(qa, qb).cast("double") / (
@@ -273,6 +332,110 @@ def _accepted_vec_ids(
     )
 
 
+def ingest_embedding_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    index_sink,
+    accept_sink=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    max_bucket: int | None = None,
+    occupancy_sink=None,
+) -> None:
+    """One micro-batch of the embedding guard — the foreachBatch body of
+    ``run_embedding_ingest``, module-level for direct retry testing
+    (mirrors ``ingest_text_batch``)."""
+    from real_time_sliding_window_spark.functions import columns as C
+
+    def _vocc_counts(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    # RETRY SHORT-CIRCUIT (advice r4): if this batch's index write
+    # already committed (crash between index commit and checkpoint
+    # commit), the committed rows ARE the decision record — replay
+    # them instead of recomputing. Recomputing against an index that
+    # contains this batch diverges on transitive within-batch
+    # clusters (A~B, B~R, A!~R: the retry rejects B via the index
+    # but R no longer meets B and wrongly survives).
+    if batch_id in set(index_sink.committed_batches()):
+        committed_rows = index_sink.read_batch(spark, batch_id)
+        acc_str = committed_rows.select("vec_id").distinct()
+        if occupancy_sink is not None:
+            # heal a crash between index commit and occupancy commit
+            occupancy_sink.write_batch(
+                _vocc_counts(committed_rows.distinct()), batch_id
+            )
+        if accept_sink is not None:
+            accept_sink.write_batch(
+                batch.join(
+                    acc_str,
+                    batch[id_col].cast("string") == acc_str["vec_id"],
+                    "left_semi",
+                ),
+                batch_id,
+            )
+        return
+    # NATIVE id type end to end (review r4: a string cast here made
+    # the min-id cluster rule LEXICOGRAPHIC — min('10','9')='10' —
+    # silently diverging from the batch family's numeric min); the
+    # index stores a string copy for schema stability only
+    batch_q = batch.select(
+        F.col(id_col).alias("vec_id"),
+        C.quantize(vec_col).alias("qv"),
+    ).withColumn("bucket", C.sign_sketch("qv", n_planes))
+    try:
+        # exclude any torn rows of THIS batch (bucketed-append sink
+        # crash window) so the decision core's no-own-rows contract
+        # holds; earlier batches pass through untouched
+        index_q = (
+            index_sink.read_committed(spark, with_batch_id=True)
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
+    except FileNotFoundError:
+        index_q = None
+    index_occ = None
+    if occupancy_sink is not None and max_bucket is not None:
+        # trusted only when the log covers every committed index batch
+        # (same completeness rule as the text guard)
+        occ_covers = set(occupancy_sink.committed_batches()) >= (
+            set(index_sink.committed_batches()) - {batch_id}
+        )
+        if occ_covers:
+            try:
+                index_occ = (
+                    occupancy_sink.read_committed(spark, with_batch_id=True)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("bucket", "n")
+                )
+            except FileNotFoundError:
+                index_occ = None
+    accepted = _accepted_vec_ids(
+        batch_q, index_q, min_cosine, n_planes, max_bucket,
+        index_occupancy=index_occ,
+    ).localCheckpoint(eager=True)
+    accepted_rows = batch_q.join(accepted, "vec_id")
+    index_sink.write_batch(
+        accepted_rows.withColumn(
+            "vec_id", F.col("vec_id").cast("string")
+        ),
+        batch_id,
+    )
+    if occupancy_sink is not None:
+        occupancy_sink.write_batch(_vocc_counts(accepted_rows), batch_id)
+    if accept_sink is not None:
+        accept_sink.write_batch(
+            batch.join(
+                accepted.withColumnRenamed("vec_id", id_col),
+                id_col, "left_semi",
+            ),
+            batch_id,
+        )
+
+
 def run_embedding_ingest(
     stream: DataFrame,
     index_sink,
@@ -283,6 +446,7 @@ def run_embedding_ingest(
     min_cosine: float = 0.95,
     n_planes: int = 8,
     max_bucket: int | None = None,
+    occupancy_sink=None,
 ):
     """SEMANTIC near-dup ingest guard — the embedding-column twin of
     ``run_neardup_ingest``. Each micro-batch: quantize + sign-sketch ->
@@ -295,74 +459,23 @@ def run_embedding_ingest(
     survivors; the accepted set is pairwise non-near-dup (at sketch
     hamming <= 1 — the multiprobe recall boundary, BENCH/ANN.md);
     redelivered batches are idempotent, re-ingested vectors are
-    cosine-1 matches and rejected. ``max_bucket``/``n_planes`` carry
-    the SCALE10X.md occupancy doctrine: fixed planes make index-probe
+    cosine-1 matches and rejected; retries of a committed batch replay
+    the recorded decision. ``max_bucket``/``n_planes`` carry the
+    SCALE10X.md occupancy doctrine: fixed planes make index-probe
     volume quadratic in corpus growth, so raise n_planes ~log2(n) and
-    cap hot buckets.
+    cap hot buckets. ``occupancy_sink`` (r5): per-batch home-bucket
+    increment log replacing the O(index) occupancy re-aggregation, as
+    in the text guard.
     """
-    from real_time_sliding_window_spark.functions import columns as C
-
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        # RETRY SHORT-CIRCUIT (advice r4): if this batch's index write
-        # already committed (crash between index commit and checkpoint
-        # commit), the committed rows ARE the decision record — replay
-        # them instead of recomputing. Recomputing against an index that
-        # contains this batch diverges on transitive within-batch
-        # clusters (A~B, B~R, A!~R: the retry rejects B via the index
-        # but R no longer meets B and wrongly survives).
-        if batch_id in set(index_sink.committed_batches()):
-            acc_str = (
-                index_sink.read_batch(spark, batch_id)
-                .select("vec_id").distinct()
-            )
-            if accept_sink is not None:
-                accept_sink.write_batch(
-                    batch.join(
-                        acc_str,
-                        batch[id_col].cast("string") == acc_str["vec_id"],
-                        "left_semi",
-                    ),
-                    batch_id,
-                )
-            return
-        # NATIVE id type end to end (review r4: a string cast here made
-        # the min-id cluster rule LEXICOGRAPHIC — min('10','9')='10' —
-        # silently diverging from the batch family's numeric min); the
-        # index stores a string copy for schema stability only
-        batch_q = batch.select(
-            F.col(id_col).alias("vec_id"),
-            C.quantize(vec_col).alias("qv"),
-        ).withColumn("bucket", C.sign_sketch("qv", n_planes))
-        try:
-            # exclude any torn rows of THIS batch (bucketed-append sink
-            # crash window) so the decision core's no-own-rows contract
-            # holds; earlier batches pass through untouched
-            index_q = (
-                index_sink.read_committed(spark, with_batch_id=True)
-                .filter(F.col("batch_id") != batch_id)
-                .drop("batch_id")
-            )
-        except FileNotFoundError:
-            index_q = None
-        accepted = _accepted_vec_ids(
-            batch_q, index_q, min_cosine, n_planes, max_bucket
-        ).localCheckpoint(eager=True)
-        index_sink.write_batch(
-            batch_q.join(accepted, "vec_id").withColumn(
-                "vec_id", F.col("vec_id").cast("string")
-            ),
-            batch_id,
+        ingest_embedding_batch(
+            spark, batch, batch_id, index_sink,
+            accept_sink=accept_sink, id_col=id_col, vec_col=vec_col,
+            min_cosine=min_cosine, n_planes=n_planes,
+            max_bucket=max_bucket, occupancy_sink=occupancy_sink,
         )
-        if accept_sink is not None:
-            accept_sink.write_batch(
-                batch.join(
-                    accepted.withColumnRenamed("vec_id", id_col),
-                    id_col, "left_semi",
-                ),
-                batch_id,
-            )
 
     q = (
         stream.writeStream.foreachBatch(_body)
@@ -376,6 +489,122 @@ def run_embedding_ingest(
     return q
 
 
+def _occ_counts(bands: DataFrame) -> DataFrame:
+    return bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def ingest_text_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    index_sink,
+    accept_sink=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    occupancy_sink=None,
+) -> None:
+    """One micro-batch of the text guard — the foreachBatch body of
+    ``run_neardup_ingest``, module-level so tests can drive a RETRY
+    (same batch, same id) directly without corrupting a streaming
+    checkpoint's metadata log. All semantics documented there."""
+    # RETRY SHORT-CIRCUIT (advice r4): a committed index batch is the
+    # decision record — replay it rather than recompute (recomputing
+    # against an index holding this batch's own rows diverges on
+    # transitive within-batch clusters; see run_embedding_ingest)
+    if batch_id in set(index_sink.committed_batches()):
+        committed_rows = index_sink.read_batch(spark, batch_id)
+        acc_str = committed_rows.select("doc_id").distinct()
+        if occupancy_sink is not None:
+            # crash landed between index commit and occupancy commit:
+            # backfill the increments from the committed index rows
+            # (write_batch is a no-op if they already committed)
+            occupancy_sink.write_batch(
+                _occ_counts(committed_rows.distinct()), batch_id
+            )
+        if accept_sink is not None:
+            accept_sink.write_batch(
+                batch.join(
+                    acc_str,
+                    batch[id_col].cast("string") == acc_str["doc_id"],
+                    "left_semi",
+                ),
+                batch_id,
+            )
+        return
+    # NATIVE id type end to end (review r4: the earlier string cast
+    # made the min-id cluster rule lexicographic, diverging from the
+    # batch family's numeric min for bigint ids); the index stores a
+    # string copy for schema stability only
+    fp = simhash_fingerprints(batch, id_col, text_col).select(
+        F.col(id_col), "simhash"
+    )
+    batch_bands = simhash_bands(fp, id_col)
+    try:
+        # exclude torn rows of THIS batch (bucketed-append crash
+        # window) — the decision core requires an index with no rows
+        # of the batch being decided
+        index_bands = (
+            index_sink.read_committed(spark, with_batch_id=True)
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
+    except FileNotFoundError:
+        index_bands = None
+    index_occ = None
+    if occupancy_sink is not None and max_bucket is not None:
+        # the increment log is trusted ONLY when it covers every
+        # committed index batch (a log wired mid-stream is
+        # incomplete — summed counts would under-estimate occupancy
+        # and un-cool hot buckets); otherwise fall back to
+        # re-aggregating the index, which is always correct
+        occ_covers = set(occupancy_sink.committed_batches()) >= (
+            set(index_sink.committed_batches()) - {batch_id}
+        )
+        if occ_covers:
+            try:
+                index_occ = (
+                    occupancy_sink.read_committed(
+                        spark, with_batch_id=True
+                    )
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("band_idx", "band_val", "n")
+                )
+            except FileNotFoundError:
+                index_occ = None  # first batch: empty index, empty log
+    accepted = _accepted_ids(
+        batch_bands, index_bands, max_hamming, max_bucket,
+        index_occupancy=index_occ,
+    )
+    # both writes are per-batch_id idempotent; accepted is reused
+    # twice (and CC already localCheckpoints its frontier), so
+    # materialize once instead of re-running the guard per consumer
+    accepted = accepted.localCheckpoint(eager=True)
+    accepted_bands = batch_bands.join(accepted, "doc_id")
+    index_sink.write_batch(
+        accepted_bands.withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        ),
+        batch_id,
+    )
+    if occupancy_sink is not None:
+        # AFTER the index write: a crash in between is healed by the
+        # short-circuit's backfill; increments == what the index
+        # gained, keeping summed counts == index occupancy exactly
+        occupancy_sink.write_batch(_occ_counts(accepted_bands), batch_id)
+    if accept_sink is not None:
+        accept_sink.write_batch(
+            batch.join(
+                accepted.withColumnRenamed("doc_id", id_col),
+                id_col, "left_semi",
+            ),
+            batch_id,
+        )
+
+
 def run_neardup_ingest(
     stream: DataFrame,
     index_sink,
@@ -385,6 +614,7 @@ def run_neardup_ingest(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    occupancy_sink=None,
 ):
     """Drain the document stream through the near-dup ingest guard.
 
@@ -405,69 +635,26 @@ def run_neardup_ingest(
     ``index_sink``: a ``BucketedIndexSink(keys=["band_idx", "band_val"])``
     for the production no-index-shuffle probe plan, or an
     ``ExactlyOnceParquetSink`` for a small drain (module docstring).
+
+    ``occupancy_sink`` (r5, with ``max_bucket``): an exactly-once sink of
+    per-batch occupancy INCREMENTS (band_idx, band_val, n) — the accepted
+    band rows counted per bucket, i.e. exactly what the index gained. The
+    hot-bucket cap is then computed from the summed increments instead of
+    re-aggregating the whole index every batch, removing the guard's last
+    O(index)-per-batch term (decision-identical — pytest parity). A
+    ``BucketedIndexSink(keys=["band_idx", "band_val"])`` makes the cool
+    join exchange-free too; the increment log is ≤ the index's row count
+    and compacts with the same generation mechanism.
     """
     spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        # RETRY SHORT-CIRCUIT (advice r4): a committed index batch is the
-        # decision record — replay it rather than recompute (recomputing
-        # against an index holding this batch's own rows diverges on
-        # transitive within-batch clusters; see run_embedding_ingest)
-        if batch_id in set(index_sink.committed_batches()):
-            acc_str = (
-                index_sink.read_batch(spark, batch_id)
-                .select("doc_id").distinct()
-            )
-            if accept_sink is not None:
-                accept_sink.write_batch(
-                    batch.join(
-                        acc_str,
-                        batch[id_col].cast("string") == acc_str["doc_id"],
-                        "left_semi",
-                    ),
-                    batch_id,
-                )
-            return
-        # NATIVE id type end to end (review r4: the earlier string cast
-        # made the min-id cluster rule lexicographic, diverging from the
-        # batch family's numeric min for bigint ids); the index stores a
-        # string copy for schema stability only
-        fp = simhash_fingerprints(batch, id_col, text_col).select(
-            F.col(id_col), "simhash"
+        ingest_text_batch(
+            spark, batch, batch_id, index_sink,
+            accept_sink=accept_sink, id_col=id_col, text_col=text_col,
+            max_hamming=max_hamming, max_bucket=max_bucket,
+            occupancy_sink=occupancy_sink,
         )
-        batch_bands = simhash_bands(fp, id_col)
-        try:
-            # exclude torn rows of THIS batch (bucketed-append crash
-            # window) — the decision core requires an index with no rows
-            # of the batch being decided
-            index_bands = (
-                index_sink.read_committed(spark, with_batch_id=True)
-                .filter(F.col("batch_id") != batch_id)
-                .drop("batch_id")
-            )
-        except FileNotFoundError:
-            index_bands = None
-        accepted = _accepted_ids(
-            batch_bands, index_bands, max_hamming, max_bucket
-        )
-        # both writes are per-batch_id idempotent; accepted is reused
-        # twice (and CC already localCheckpoints its frontier), so
-        # materialize once instead of re-running the guard per consumer
-        accepted = accepted.localCheckpoint(eager=True)
-        index_sink.write_batch(
-            batch_bands.join(accepted, "doc_id").withColumn(
-                "doc_id", F.col("doc_id").cast("string")
-            ),
-            batch_id,
-        )
-        if accept_sink is not None:
-            accept_sink.write_batch(
-                batch.join(
-                    accepted.withColumnRenamed("doc_id", id_col),
-                    id_col, "left_semi",
-                ),
-                batch_id,
-            )
 
     q = (
         stream.writeStream.foreachBatch(_body)

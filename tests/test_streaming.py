@@ -1571,6 +1571,146 @@ class TestNearDupIngestGuard:
             spark.sql("DROP TABLE IF EXISTS cp_idx_table")
             spark.sql("DROP TABLE IF EXISTS cp_idx_table_g1")
 
+    def test_occupancy_increment_log_parity_and_backfill(self, spark,
+                                                         tmp_path):
+        """r5: with occupancy_sink wired, the hot-bucket cap computed
+        from summed increments must make IDENTICAL decisions to the
+        index-re-agg path in a regime where the cap bites (5 clones >
+        max_bucket=3 -> bands hot -> candidates skipped -> all clones
+        accepted; a 6th clone in batch 2 still meets a hot bucket); the
+        increment sums equal the index's per-bucket occupancy; and a
+        crash between index and occupancy commit is healed by the retry
+        backfill."""
+        import os
+        import shutil
+
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_neardup_ingest,
+        )
+
+        U = self.UNIQ
+        b1 = pd.DataFrame({
+            "doc_id": [f"x{i}" for i in range(5)] + ["y0"],
+            "text": [U["a"]] * 5 + [U["b"]],
+        })
+        b2 = pd.DataFrame({"doc_id": ["x9", "z0"],
+                           "text": [U["a"], U["c"]]})
+
+        def run(name, with_occ):
+            feed = FileFeed(spark, str(tmp_path / f"{name}_in"))
+            idx = ExactlyOnceParquetSink(str(tmp_path / f"{name}_idx"))
+            acc = ExactlyOnceParquetSink(str(tmp_path / f"{name}_acc"))
+            occ = (ExactlyOnceParquetSink(str(tmp_path / f"{name}_occ"))
+                   if with_occ else None)
+            ckpt = str(tmp_path / f"{name}_ckpt")
+            for push in (b1, b2):
+                feed.push(spark.createDataFrame(push, schema=self.SCHEMA))
+                run_neardup_ingest(
+                    feed.stream(self.SCHEMA), idx, ckpt, accept_sink=acc,
+                    max_bucket=3, occupancy_sink=occ,
+                )
+            return idx, acc, occ, ckpt
+
+        idx_a, acc_a, _, _ = run("oa", with_occ=False)
+        idx_b, acc_b, occ_b, ckpt_b = run("ob", with_occ=True)
+        want = sorted(set(acc_a.read_committed(spark).toPandas().doc_id))
+        got = sorted(set(acc_b.read_committed(spark).toPandas().doc_id))
+        assert got == want
+        # the cap bit: all clones survived (hot buckets skip candidates)
+        assert set(f"x{i}" for i in range(5)) | {"x9"} <= set(got)
+
+        def occ_sums(occ):
+            return (
+                occ.read_committed(spark).toPandas()
+                .groupby(["band_idx", "band_val"]).n.sum().to_dict()
+            )
+
+        def idx_counts(idx):
+            pdf = idx.read_committed(spark).toPandas()
+            return pdf.groupby(["band_idx", "band_val"]).size().to_dict()
+
+        assert occ_sums(occ_b) == idx_counts(idx_b)
+
+        # crash between index commit and occupancy commit on batch 1:
+        # drop occupancy's batch-1 commit, then drive the RETRY (same
+        # rows, same batch id — the foreachBatch redelivery shape)
+        # through the module-level body; the short-circuit must backfill
+        # the increments from the committed index rows
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            ingest_text_batch,
+        )
+
+        os.remove(os.path.join(occ_b.commit_dir, "1.json"))
+        shutil.rmtree(os.path.join(occ_b.data_dir, "batch_id=1"))
+        assert occ_sums(occ_b) != idx_counts(idx_b)  # crash state visible
+        ingest_text_batch(
+            spark, spark.createDataFrame(b2, schema=self.SCHEMA), 1,
+            idx_b, accept_sink=acc_b, max_bucket=3, occupancy_sink=occ_b,
+        )
+        assert occ_sums(occ_b) == idx_counts(idx_b)
+        assert sorted(set(
+            acc_b.read_committed(spark).toPandas().doc_id
+        )) == want
+
+    def test_embedding_occupancy_log_parity(self, spark, tmp_path):
+        """r5: the embedding guard's occupancy increment log makes
+        identical decisions to the index-re-agg path in a clone-heavy
+        capped regime, and its sums equal the index's per-bucket
+        occupancy."""
+        import numpy as np
+
+        from real_time_sliding_window_spark.streaming.neardup_guard import (
+            run_embedding_ingest,
+        )
+
+        rng = np.random.default_rng(23)
+        base = rng.normal(size=16)
+        other = rng.normal(size=16)
+        schema = "vec_id long, embedding array<float>"
+        b1 = pd.DataFrame({
+            "vec_id": list(range(5)) + [50],
+            "embedding": [list(map(float, base))] * 5
+            + [list(map(float, other))],
+        })
+        b2 = pd.DataFrame({
+            "vec_id": [9, 60],
+            "embedding": [list(map(float, base)),
+                          list(map(float, rng.normal(size=16)))],
+        })
+
+        def run(name, with_occ):
+            feed = FileFeed(spark, str(tmp_path / f"{name}_in"))
+            idx = ExactlyOnceParquetSink(str(tmp_path / f"{name}_idx"))
+            acc = ExactlyOnceParquetSink(str(tmp_path / f"{name}_acc"))
+            occ = (ExactlyOnceParquetSink(str(tmp_path / f"{name}_occ"))
+                   if with_occ else None)
+            ckpt = str(tmp_path / f"{name}_ckpt")
+            for push in (b1, b2):
+                feed.push(spark.createDataFrame(push, schema=schema))
+                run_embedding_ingest(
+                    feed.stream(schema), idx, ckpt, accept_sink=acc,
+                    min_cosine=0.9, n_planes=4, max_bucket=3,
+                    occupancy_sink=occ,
+                )
+            return idx, acc, occ
+
+        _, acc_a, _ = run("va", with_occ=False)
+        idx_b, acc_b, occ_b = run("vb", with_occ=True)
+        want = sorted(acc_a.read_committed(spark).toPandas().vec_id)
+        got = sorted(acc_b.read_committed(spark).toPandas().vec_id)
+        assert got == want
+        # the cap bit: the clones survived via hot-bucket candidate skip
+        assert set(range(5)) | {9} <= set(got)
+        occ_sums = (
+            occ_b.read_committed(spark).toPandas()
+            .groupby("bucket").n.sum().to_dict()
+        )
+        idx_counts = (
+            idx_b.read_committed(spark).toPandas()
+            .groupby("bucket").size().to_dict()
+        )
+        assert occ_sums == idx_counts
+
     def test_numeric_min_id_not_lexicographic(self, spark, tmp_path):
         """Review r4: bigint doc_ids must resolve clusters by NUMERIC
         min (min(9,10)=9), not string min ('10'<'9') — the guard keeps
