@@ -248,6 +248,70 @@ def bench_emb_growth(spark, mult: int) -> list[dict]:
     return rows
 
 
+def bench_occupancy(spark, sizes=(200_000, 2_000_000)) -> list[dict]:
+    """Scenario 4 (r5): the occupancy increment log vs the O(index)
+    re-aggregation, measured where the index term is visible. The index
+    is pre-populated DIRECTLY with synthetic band rows (no guard runs —
+    the module-level ingest_text_batch makes single-batch timing
+    possible), then ONE 5k-doc batch is timed with max_bucket set, with
+    and without the increment log."""
+    from real_time_sliding_window_spark.operators.dedup import simhash_bands
+    from real_time_sliding_window_spark.streaming.neardup_guard import (
+        ingest_text_batch,
+    )
+
+    rows = []
+    batch = doc_tile(spark, 0).localCheckpoint(eager=True)
+    for n_rows in sizes:
+        n_docs = n_rows // 4
+        fp = spark.range(n_docs).select(
+            F.concat(F.lit("syn"), F.col("id")).alias("doc_id"),
+            F.xxhash64("id").bitwiseAND(F.lit((1 << 60) - 1)).alias(
+                "simhash"
+            ),
+        )
+        bands = simhash_bands(fp).localCheckpoint(eager=True)
+        idx = ExactlyOnceParquetSink(_tmp(f"occ_{n_rows}_idx"),
+                                     track_lineage=False)
+        occ = ExactlyOnceParquetSink(_tmp(f"occ_{n_rows}_occ"),
+                                     track_lineage=False)
+        idx.write_batch(bands, 0)
+        occ.write_batch(
+            bands.groupBy("band_idx", "band_val").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            0,
+        )
+        def _undo_batch1():
+            # remove batch 1 so each rep decides against the same index
+            for sink in (idx, occ):
+                m = os.path.join(sink.commit_dir, "1.json")
+                d = os.path.join(sink.data_dir, "batch_id=1")
+                if os.path.exists(m):
+                    os.remove(m)
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+
+        for use_occ in (False, True):
+            walls = []
+            for rep in range(2):
+                t0 = time.monotonic()
+                ingest_text_batch(
+                    spark, batch, 1, idx, max_bucket=1024,
+                    occupancy_sink=occ if use_occ else None,
+                )
+                walls.append(time.monotonic() - t0)
+                _undo_batch1()
+            rows.append({
+                "index_rows": n_rows,
+                "occupancy_log": use_occ,
+                "probe_docs": batch.count(),
+                "best_wall_s": round(min(walls), 2),
+                "per_rep_s": "/".join(f"{w:.2f}" for w in walls),
+            })
+    return rows
+
+
 def _table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |",
@@ -261,7 +325,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--scenario", default="all",
-                    choices=["bulk", "text", "emb", "all"])
+                    choices=["bulk", "text", "emb", "occ", "all"])
     args = ap.parse_args()
     spark = get_spark(app_name="guard-bench")
     try:
@@ -274,6 +338,9 @@ def main() -> None:
         if args.scenario in ("emb", "all"):
             print(f"\n## embedding probe growth (index 1x vs {args.mult}x)\n")
             print(_table(bench_emb_growth(spark, args.mult)))
+        if args.scenario in ("occ", "all"):
+            print("\n## occupancy log vs index re-agg (one timed batch)\n")
+            print(_table(bench_occupancy(spark)))
     finally:
         spark.stop()
         for d in _TMP:
