@@ -1428,6 +1428,177 @@ def _hits_sql(words: list[str]) -> str:
     return f"CAST(len(list_filter(tok, t -> list_contains([{arr}], t))) AS BIGINT)"
 
 
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS semi-join: orders per priority class with at
+    least one lineitem shipped more than 60 days after the order date
+    (the schema has no commit/receipt dates; the late-shipment predicate
+    keeps the Q4 *shape* — a correlated EXISTS over lineitem collapsing
+    to a LEFT SEMI join with a non-equi conjunct). Plan: one sort-merge
+    LEFT SEMI on orderkey (both sides scale — no broadcast), lineitem
+    pruned to two columns at the scan, then a tiny hash agg. Timestamp
+    comparison is exact integer microseconds on both engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style scalar-subquery argmax: the supplier(s) whose
+    Q1-1996 discounted revenue equals the maximum over all suppliers.
+    Revenue is exact integer cents (the Q3-proven round(·100) pattern),
+    so the max comparison has no float knife-edge. Plan: one partial+
+    final agg over the date-pruned lineitem scan, a 1-row max broadcast
+    back over the agg (no re-scan of lineitem — the classic Q15 view is
+    computed once and reused), and a broadcast supplier dim join."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("rev_cents").alias("total_rev_cents")
+    )
+    mx = per_supp.agg(F.max("total_rev_cents").alias("max_rev_cents"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cents") == F.col("max_rev_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style scalar-avg + anti-join: per nation, customers whose
+    balance exceeds the average positive balance AND who placed no order
+    since 2000-01-01. The avg threshold is exact integers —
+    ``cents·cnt > sum_cents ⟺ acctbal > avg`` — same no-knife-edge
+    doctrine as Q17/Q20. Plan: a 1-row (cnt, sum) agg broadcast over the
+    customer scan, then a LEFT ANTI sort-merge against the date-pruned
+    orders projection (both sides scale; the anti-join shuffles on
+    custkey once), then a per-nation hash agg."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    stats = cust.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("cnt") > F.col("sum_cents")
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_acctbal_cents"),
+    )
+
+
+def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded keyword retrieval: integer-scaled Okapi BM25 top-10 per
+    query (operators/retrieval.py::bm25_topk) — saturating tf and
+    document-length normalization over the same postings plan as
+    tfidf_search_docs, exact int64 end to end."""
+    from real_time_sliding_window_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _TFIDF_QUERIES, k=10)
+
+
+def q_groupwise_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source eval-set draw: EXACTLY min(20, |source|) documents per
+    source, selected by content-addressed bottom-k rank
+    (operators/sampling.py::groupwise_bottomk_sample) — the deterministic,
+    mergeable replacement for per-group reservoir sampling."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        groupwise_bottomk_sample,
+    )
+
+    out = groupwise_bottomk_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        group_col="source",
+        key_col="doc_id",
+        k=20,
+    )
+    return out.select("source", "doc_id", "sample_rank")
+
+
+def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py::redact_pii) over the corpus. The
+    synthetic corpus is PII-free, so the query first APPENDS deterministic
+    pseudo-PII derived from doc_id (an e-mail for doc_id ≡ 0 mod 3, a
+    ≥6-digit run for doc_id ≡ 0 mod 2 — both engines build the identical
+    string) purely to exercise the redaction end to end with non-zero,
+    varying counts; output carries md5(text_redacted) so the byte-exact
+    redacted text is what the hash gate checks. Map-only, zero shuffle."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" ref "),
+                    (F.col("doc_id") * F.col("doc_id") + 100000).cast(
+                        "string"
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = T.redact_pii(docs)
+    return red.select(
+        "doc_id",
+        F.md5("text_redacted").alias("redacted_md5"),
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+        "n_emails",
+        "n_longnums",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1448,6 +1619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04; positions 1-9 were judge-verified in r4 (VERDICT.md) and
     # take their driver row in r5.
     return {
+        # -- r5 additions, never yet in the driver window --
+        "priority_late_orders": q_priority_late_orders,
+        "top_revenue_suppliers": q_top_revenue_suppliers,
+        "idle_rich_customers": q_idle_rich_customers,
+        "bm25_search_docs": q_bm25_search_docs,
+        "groupwise_sample_docs": q_groupwise_sample_docs,
+        "redact_docs": q_redact_docs,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -1494,14 +1672,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "topk_events_per_user": q_topk_events_per_user,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        # ---- position 51+: long-stable pins displaced from the driver window
+        # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_recall": q_ann_recall,
         "curated_corpus": q_curated_corpus,
-        # ---- position 51+: long-stable pins displaced from the driver window
-        # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
         "hash_sample_docs": q_hash_sample_docs,
         "split_counts_docs": q_split_counts_docs,
         "chunk_docs": q_chunk_docs,
@@ -2370,5 +2548,158 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 10
+        """,
+        # correlated-EXISTS form: the oracle checks Q4 semantics, not the
+        # Spark LEFT SEMI lowering
+        "priority_late_orders": """
+            SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY 1
+        """,
+        # scalar-subquery form: the oracle recomputes the max the Q15 way
+        "top_revenue_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(
+                           l_extendedprice * (1 - l_discount) * 100
+                       ) AS BIGINT)) AS BIGINT) AS total_rev_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+        """,
+        "idle_rich_customers": """
+            WITH cust AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM cust WHERE cents > 0
+            )
+            SELECT c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(c.cents) AS BIGINT) AS total_acctbal_cents
+            FROM cust c, stats
+            WHERE c.cents * stats.cnt > stats.sum_cents
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+            GROUP BY 1
+        """,
+        # integer BM25 twin: identical rational arithmetic, // is DuckDB's
+        # integer division (all operands positive, matches Spark's div)
+        "bm25_search_docs": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            post AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+                GROUP BY 1, 2
+            ),
+            doclen AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM post GROUP BY 1
+            ),
+            consts AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_len
+                FROM doclen
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY 1
+            ),
+            q(query_id, term) AS (VALUES {_tfidf_terms_sql()}),
+            scored AS (
+                SELECT q.query_id, p.doc_id,
+                       CAST(sum(
+                           (((2 * (c.n_docs - d.df) + 1) * 1000)
+                            // (2 * d.df + 1))
+                           * ((2200 * p.tf * 100000)
+                              // (1000 * p.tf + 300
+                                  + (9 * ((dl.dl * c.n_docs * 1000)
+                                          // c.sum_len)) // 10))
+                       ) AS BIGINT) AS score
+                FROM post p
+                JOIN dfreq d USING (term)
+                JOIN doclen dl USING (doc_id)
+                JOIN q ON q.term = p.term
+                CROSS JOIN consts c
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        # md5 hex strings compare identically on both engines
+        "groupwise_sample_docs": """
+            SELECT source, doc_id, sample_rank FROM (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC
+                       ) AS INT) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 20
+        """,
+        # same augmentation, same two regexes, same application order;
+        # 'g' flag = replace-all to match Spark's regexp_replace default
+        "redact_docs": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' ref '
+                                    || CAST(doc_id * doc_id + 100000
+                                            AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               text,
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                               '<email>', 'g'),
+                           '[0-9]{6,}', '<num>', 'g') AS text_redacted,
+                       CAST(len(regexp_extract_all(
+                           text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'
+                       )) AS BIGINT) AS n_emails,
+                       CAST(len(regexp_extract_all(
+                           regexp_replace(
+                               text,
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                               '<email>', 'g'),
+                           '[0-9]{6,}'
+                       )) AS BIGINT) AS n_longnums
+                FROM aug
+            )
+            SELECT doc_id,
+                   md5(text_redacted) AS redacted_md5,
+                   CAST(length(text_redacted) AS BIGINT) AS redacted_len,
+                   n_emails, n_longnums
+            FROM red
         """,
     }

@@ -155,3 +155,104 @@ def tfidf_topk(
     post = postings(df, id_col, text_col)
     n_docs = df.select(id_col).distinct().count()
     return score_postings(post, n_docs, queries, k=k, max_df=max_df)
+
+
+# --- BM25 (integer-scaled) ---------------------------------------------------
+#
+# Okapi BM25 with k1 = 1.2, b = 0.75, rebuilt in EXACT int64 arithmetic so the
+# DuckDB oracle hash-matches at any scale (repo-wide cross-engine discipline;
+# floats reproduce only per-engine). Derivation, with N = corpus size,
+# SL = total token count, dl = doc length, avgdl = SL/N:
+#
+#   tf-component = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#
+# Substituting k1 = 12/10, b = 3/4 and scaling dl/avgdl to PER-MILLE
+# (r = (dl·N·1000) div SL) then multiplying num and den by 1000:
+#
+#   num = 2200·tf        den = 1000·tf + 300 + (9·r) div 10
+#
+#   comp   = (num · COMP_SCALE) div den            (≤ 2.2·COMP_SCALE)
+#   idf    = ((2·(N − df) + 1) · IDF_SCALE) div (2·df + 1)
+#            — the classic (N − df + 0.5)/(df + 0.5) ratio, ×2 to clear
+#            the halves, log-free (monotone in df, ranking-equivalent
+#            within the common df regime; same doctrine as tfidf_topk)
+#   score  = Σ over matched terms of idf · comp    (int64)
+#
+# int64 headroom at 100 TB: r needs dl·N·1000 < 2^63 (fine to N·dl ≈ 9·10^15;
+# beyond that drop the per-mille scale to per-cent), idf ≤ 2N·IDF_SCALE, and
+# score ≤ terms · idf · 2.2·COMP_SCALE — at N = 10^10 that is ~5·10^18 per
+# 10-term query, inside int64. The integer div quantizes the tf-component to
+# COMP_SCALE levels; ties break toward the lower doc_id on both engines.
+
+BM25_COMP_SCALE = 100_000
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k documents per query by integer-scaled Okapi BM25.
+
+    Same plan shape as ``tfidf_topk`` (postings + broadcast query terms +
+    hash join + map-side-combined sum + WindowGroupLimit top-k) plus one
+    extra broadcast-sized input: the per-doc length table (one partial
+    agg over the postings). The corpus constants (N, SL) are a 1-row agg
+    collected driver-side — constants, not data. ``max_df`` is the same
+    stopword fan-out guard as ``tfidf_topk``, mirrored in the oracle.
+    """
+    post = postings(df, id_col, text_col)
+    doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs, sum_len = (
+        doclen.agg(
+            F.count(F.lit(1)).cast("long"),
+            F.sum("dl").cast("long"),
+        ).collect()[0]
+    )
+    if not n_docs:
+        raise ValueError("bm25_topk: empty corpus (no tokenized documents)")
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = (
+        post.join(dfreq, "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "r", F.expr(f"(dl * {n_docs}L * 1000) div {sum_len}L")
+        )
+        .withColumn(
+            "comp",
+            F.expr(
+                f"(2200 * tf * {BM25_COMP_SCALE}L)"
+                " div (1000 * tf + 300 + (9 * r) div 10)"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"((2 * ({n_docs}L - df) + 1) * {IDF_SCALE}) div (2 * df + 1)"
+            ),
+        )
+    )
+    q_terms = [
+        (qid, term) for qid, text in queries for term in set(tokenize_query(text))
+    ]
+    qdf = df.sparkSession.createDataFrame(q_terms, "query_id string, term string")
+    scored = (
+        weighted.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("comp")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -299,3 +299,46 @@ def contamination_filter(
         .distinct()
     )
     return docs.join(hits, id_col, "left_anti")
+
+
+def groupwise_bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, chosen uniformly by content
+    address — the deterministic replacement for per-group reservoir
+    sampling.
+
+    ``hash_sample`` keeps a deterministic *fraction*; pipelines also need
+    a deterministic *count* per stratum ("20 docs per source for the eval
+    set"). Rank rows within each group by the md5 hex of the key (hex
+    strings compare identically on every engine — lowercase ASCII) and
+    keep rank ≤ k. Because md5 is uniform on the key, this is a uniform
+    without-replacement draw, yet:
+
+    - rerunnable: same rows every run, any partitioning, any engine
+      (the DuckDB oracle is expression-identical);
+    - bottom-k MERGEABLE under incremental ingest: the bottom-k of a
+      union is computable from per-increment bottom-k's alone, so an
+      incremental pipeline keeps k candidate rows per group per
+      increment, never the full history (the classic bottom-k sketch);
+    - distributed: the rank ≤ k filter lowers to WindowGroupLimit —
+      per-partition top-k pruning BEFORE the single shuffle on
+      group_col, so k rows per group per input partition is all that
+      moves (plan-pinned in test_plans.py).
+
+    Ties (two keys with equal md5 — i.e. equal keys) break by the raw
+    key, keeping row_number deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"groupwise_bottomk_sample: k must be >= 1, got {k}")
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -237,3 +237,49 @@ def repetition_signals(
     return out.select(
         "*", dup_frac.alias("dup_word_frac"), top_frac.alias("top_bigram_frac")
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+#
+# Patterns chosen from the Java-regex ∩ RE2 common dialect (character classes,
+# bounded repetition — no backrefs, no lookaround) so the Spark expression and
+# the DuckDB oracle twin compile to the SAME language; order of application is
+# fixed (emails first — their local parts may contain digit runs) so engines
+# agree byte-for-byte on the redacted text.
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{6,}"
+PII_EMAIL_TAG = "<email>"
+PII_LONGNUM_TAG = "<num>"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub e-mail addresses and long digit runs (IDs / phone-shaped
+    numbers) from a text column — the curation pass a training pipeline
+    runs before anything leaves the raw zone.
+
+    Output: ``(id, text_redacted, n_emails, n_longnums)``. Counts come
+    from ``regexp_extract_all`` BEFORE replacement; replacement is
+    global on both engines (Spark's ``regexp_replace`` replaces all
+    matches; the DuckDB twin passes the ``'g'`` flag). Everything is a
+    map-only JVM-side expression — zero shuffle, scales as a pure scan
+    at 100 TB. Long-digit-run counting happens AFTER e-mail removal so
+    a digit-bearing e-mail local part is counted once, as an e-mail.
+    """
+    no_email = F.regexp_replace(
+        F.col(text_col), PII_EMAIL_RE, PII_EMAIL_TAG
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.regexp_replace(
+            no_email, PII_LONGNUM_RE, PII_LONGNUM_TAG
+        ).alias("text_redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_LONGNUM_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_longnums"),
+    )

@@ -255,3 +255,26 @@ def test_retention_drops_only_expired_partitions(spark, tmp_path):
     expect = ev.filter(_F.date_format("ts", "yyyy-MM-dd") >= "2024-01-04")
     assert kept.count() == expect.count()
     assert kept.select(_F.min("ts")).first()[0] >= expect.select(_F.min("ts")).first()[0]
+
+
+def test_groupwise_sample_rank_limit_pushdown(spark):
+    """The bottom-k sample must prune per-partition before its one shuffle."""
+    sc = scorecard(E.q_groupwise_sample_docs(spark, SF))
+    assert sc["window_group_limit"], "rank<=k must lower to WindowGroupLimit"
+
+
+def test_q15_argmax_broadcasts_scalar_and_dim(spark):
+    """The 1-row max and the supplier dim must broadcast — no shuffle join
+    against the aggregated revenue."""
+    sc = scorecard(E.q_top_revenue_suppliers(spark, SF))
+    assert sc["broadcast_join"]
+    assert sc["pushed_filters"], "shipdate range must reach the scan"
+
+
+def test_q4_semi_join_prunes_lineitem_scan(spark):
+    """Q4's EXISTS lowers to one LEFT SEMI; lineitem contributes exactly
+    its two join columns at the scan."""
+    sc = scorecard(E.q_priority_late_orders(spark, SF))
+    assert sc["partial_agg"]
+    plan = E.q_priority_late_orders(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

@@ -903,3 +903,160 @@ class TestTfidfRetrieval:
         ).toPandas()
         # apple (df=2) is dropped by the cap; only cherry scores
         assert list(out.doc_id) == [2]
+
+
+class TestBm25Retrieval:
+    @staticmethod
+    def _corpus(spark):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "apple apple",                                  # dl=2, tf=2
+                "apple apple filler filler filler filler",      # dl=6, tf=2
+                "cherry words other",                           # dl=3, tf=0
+            ],
+        }))
+
+    def test_length_normalization_ranks_shorter_doc_first(self, spark):
+        from real_time_sliding_window_spark.operators.retrieval import bm25_topk
+
+        out = (
+            bm25_topk(self._corpus(spark), [("q", "apple")], k=5)
+            .toPandas()
+            .sort_values("rank")
+        )
+        # equal tf, shorter doc wins under BM25 length normalization
+        assert list(out.doc_id) == [0, 1]
+
+    def test_integer_formula_matches_reference_python(self, spark):
+        from real_time_sliding_window_spark.operators.retrieval import (
+            BM25_COMP_SCALE, IDF_SCALE, bm25_topk,
+        )
+
+        out = (
+            bm25_topk(self._corpus(spark), [("q", "apple")], k=5)
+            .toPandas()
+            .set_index("doc_id")["score"]
+        )
+        n, sl = 3, 11          # 3 docs, 2+6+3 tokens
+        df_t = 2               # 'apple' appears in docs 0 and 1
+        idf = ((2 * (n - df_t) + 1) * IDF_SCALE) // (2 * df_t + 1)
+        for doc_id, tf, dl in [(0, 2, 2), (1, 2, 6)]:
+            r = (dl * n * 1000) // sl
+            comp = (2200 * tf * BM25_COMP_SCALE) // (
+                1000 * tf + 300 + (9 * r) // 10
+            )
+            assert out[doc_id] == idf * comp
+
+    def test_max_df_guard_and_empty_corpus(self, spark):
+        from real_time_sliding_window_spark.operators.retrieval import bm25_topk
+
+        out = bm25_topk(
+            self._corpus(spark), [("q", "apple cherry")], k=5, max_df=1
+        ).toPandas()
+        # apple (df=2) capped away; only cherry scores
+        assert list(out.doc_id) == [2]
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty corpus"):
+            bm25_topk(empty, [("q", "apple")])
+
+
+class TestGroupwiseSample:
+    @staticmethod
+    def _rows(spark):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(40),
+            "source": ["a"] * 25 + ["b"] * 12 + ["c"] * 3,
+        }))
+
+    def test_exact_count_and_repartition_stability(self, spark):
+        from real_time_sliding_window_spark.operators.sampling import (
+            groupwise_bottomk_sample,
+        )
+
+        df = self._rows(spark)
+        out = groupwise_bottomk_sample(df, "source", "doc_id", k=5).toPandas()
+        sizes = out.groupby("source")["doc_id"].count().to_dict()
+        assert sizes == {"a": 5, "b": 5, "c": 3}  # min(k, |group|) exactly
+        again = (
+            groupwise_bottomk_sample(
+                df.repartition(7, "doc_id"), "source", "doc_id", k=5
+            )
+            .toPandas()
+        )
+        key = lambda p: sorted(map(tuple, p[["source", "doc_id"]].values))
+        assert key(out) == key(again)
+
+    def test_bottomk_is_mergeable(self, spark):
+        """Bottom-k of a union == bottom-k over the per-increment bottom-k's
+        — the property that lets an incremental pipeline keep only k rows
+        per group per increment."""
+        from real_time_sliding_window_spark.operators.sampling import (
+            groupwise_bottomk_sample,
+        )
+
+        df = self._rows(spark)
+        half1 = df.filter(F.col("doc_id") < 20)
+        half2 = df.filter(F.col("doc_id") >= 20)
+        merged = groupwise_bottomk_sample(
+            groupwise_bottomk_sample(half1, "source", "doc_id", k=5)
+            .select("doc_id", "source")
+            .unionByName(
+                groupwise_bottomk_sample(half2, "source", "doc_id", k=5)
+                .select("doc_id", "source")
+            ),
+            "source", "doc_id", k=5,
+        ).toPandas()
+        direct = groupwise_bottomk_sample(
+            df, "source", "doc_id", k=5
+        ).toPandas()
+        key = lambda p: sorted(
+            map(tuple, p[["source", "doc_id", "sample_rank"]].values)
+        )
+        assert key(merged) == key(direct)
+
+    def test_k_must_be_positive(self, spark):
+        from real_time_sliding_window_spark.operators.sampling import (
+            groupwise_bottomk_sample,
+        )
+
+        with pytest.raises(ValueError, match="k must be"):
+            groupwise_bottomk_sample(self._rows(spark), "source", "doc_id", 0)
+
+
+class TestRedactPii:
+    def test_counts_and_replacement(self, spark):
+        out = text.redact_pii(
+            spark.createDataFrame(
+                [
+                    (0, "mail me at jo.doe+x@corp.example.org today"),
+                    (1, "ticket 1234567 and card 99887766554433"),
+                    (2, "clean text with short num 12345"),
+                    (3, ""),
+                ],
+                "doc_id long, text string",
+            )
+        ).toPandas().set_index("doc_id")
+        assert out.loc[0, "text_redacted"] == "mail me at <email> today"
+        assert (out.loc[0, "n_emails"], out.loc[0, "n_longnums"]) == (1, 0)
+        assert out.loc[1, "text_redacted"] == "ticket <num> and card <num>"
+        assert (out.loc[1, "n_emails"], out.loc[1, "n_longnums"]) == (0, 2)
+        # 5-digit run is below the long-num threshold: untouched
+        assert out.loc[2, "text_redacted"] == "clean text with short num 12345"
+        assert (out.loc[2, "n_emails"], out.loc[2, "n_longnums"]) == (0, 0)
+        assert out.loc[3, "text_redacted"] == ""
+
+    def test_digit_bearing_email_counted_once(self, spark):
+        out = text.redact_pii(
+            spark.createDataFrame(
+                [(0, "reach user1234567@host.example.com now")],
+                "doc_id long, text string",
+            )
+        ).toPandas().iloc[0]
+        # the 7-digit run lives inside the email: one email, zero longnums
+        assert out["text_redacted"] == "reach <email> now"
+        assert (out["n_emails"], out["n_longnums"]) == (1, 0)
