@@ -63,6 +63,12 @@ BATCH_QUERIES = [
     "decontaminate_docs",
     "chunk_docs",
     "lineitem_pricing",
+    "bm25_search_docs",
+    "priority_late_orders",
+    "top_revenue_suppliers",
+    "idle_rich_customers",
+    "groupwise_sample_docs",
+    "redact_docs",
 ]
 
 
