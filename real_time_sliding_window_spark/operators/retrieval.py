@@ -187,24 +187,30 @@ def tfidf_topk(
 BM25_COMP_SCALE = 100_000
 
 
-def bm25_topk(
-    df: DataFrame,
+def bm25_score_postings(
+    post: DataFrame,
     queries: Sequence[tuple[str, str]],
     k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     max_df: int | None = None,
 ) -> DataFrame:
-    """Top-k documents per query by integer-scaled Okapi BM25.
+    """Score a (term, doc_id, tf) postings table by integer-scaled BM25.
 
-    Same plan shape as ``tfidf_topk`` (postings + broadcast query terms +
-    hash join + map-side-combined sum + WindowGroupLimit top-k) plus one
-    extra broadcast-sized input: the per-doc length table (one partial
-    agg over the postings). The corpus constants (N, SL) are a 1-row agg
-    collected driver-side — constants, not data. ``max_df`` is the same
-    stopword fan-out guard as ``tfidf_topk``, mirrored in the oracle.
+    Every BM25 input — doc length, corpus size N, total token count SL,
+    document frequency — is derivable from the postings alone, so this
+    runs unchanged over the ACCUMULATED incremental index
+    (``run_postings_index``), where the raw documents are long gone:
+    the same query-time-stats contract ``score_postings`` gives tfidf
+    (df/idf never stored stale), extended to the length stats. N counts
+    TOKENIZED documents (a doc whose text tokenizes to nothing has no
+    postings and is invisible to ranking — it can never match a query).
+
+    Same plan shape as ``score_postings`` (broadcast query terms + hash
+    join + map-side-combined sum + WindowGroupLimit top-k) plus one
+    extra agg over the postings for the per-doc length table. The corpus
+    constants (N, SL) are a 1-row agg collected driver-side — constants,
+    not data. ``max_df`` is the same stopword fan-out guard as
+    ``tfidf_topk``, mirrored in the oracle.
     """
-    post = postings(df, id_col, text_col)
     doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs, sum_len = (
         doclen.agg(
@@ -213,7 +219,7 @@ def bm25_topk(
         ).collect()[0]
     )
     if not n_docs:
-        raise ValueError("bm25_topk: empty corpus (no tokenized documents)")
+        raise ValueError("bm25: empty corpus (no tokenized documents)")
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -242,7 +248,9 @@ def bm25_topk(
     q_terms = [
         (qid, term) for qid, text in queries for term in set(tokenize_query(text))
     ]
-    qdf = df.sparkSession.createDataFrame(q_terms, "query_id string, term string")
+    qdf = post.sparkSession.createDataFrame(
+        q_terms, "query_id string, term string"
+    )
     scored = (
         weighted.join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
@@ -255,4 +263,21 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k documents per query by integer-scaled Okapi BM25 (batch
+    entry: tokenizes the corpus, then scores the postings — see
+    ``bm25_score_postings`` for the arithmetic and the incremental-index
+    contract)."""
+    return bm25_score_postings(
+        postings(df, id_col, text_col), queries, k=k, max_df=max_df
     )

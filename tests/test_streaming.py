@@ -2371,3 +2371,37 @@ class TestAsOfStreamJoin:
             horizon=timedelta(seconds=20), tiebreakers=["tb"],
         ).toPandas()
         assert int(batch.r_cid.iloc[0]) == 2
+
+
+class TestBm25OverIndex:
+    def test_bm25_over_accumulated_index_equals_batch(self, spark, tmp_path):
+        """BM25 needs doc-length and corpus stats on top of df — all
+        derivable from the postings table alone, so scoring the
+        ACCUMULATED incremental index must reproduce batch bm25_topk on
+        the full corpus exactly."""
+        from real_time_sliding_window_spark.operators.retrieval import (
+            bm25_score_postings,
+            bm25_topk,
+            run_postings_index,
+        )
+
+        schema = "doc_id long, text string"
+        b1 = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["apple banana", "apple apple"]})
+        b2 = pd.DataFrame({"doc_id": [2],
+                           "text": ["cherry apple plum plum plum"]})
+
+        feed = FileFeed(spark, str(tmp_path / "bmidx_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "bmidx_out"))
+        ckpt = str(tmp_path / "bmidx_ckpt")
+        for push in (b1, b2):
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_postings_index(feed.stream(schema), sink, ckpt)
+        idx = sink.read_committed(spark)
+        full = spark.createDataFrame(pd.concat([b1, b2]), schema=schema)
+
+        q = [("q", "apple plum")]
+        key = lambda p: sorted(map(tuple, p.itertuples(index=False)))
+        from_idx = bm25_score_postings(idx, q, k=5).toPandas()
+        from_batch = bm25_topk(full, q, k=5).toPandas()
+        assert key(from_idx) == key(from_batch)
