@@ -1599,6 +1599,32 @@ def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-floor curation (operators/sampling.py::percentile_gate):
+    drop each source's bottom quartile by document length, report
+    per-source survivor stats. The threshold rides the mergeable GK
+    sketch (no group's raw values ever concentrate in one executor); in
+    the sketch's exact regime (group n ≤ accuracy, true at all test
+    scales) the cut equals DuckDB's quantile_disc order statistic, and
+    n_chars is integral, so the gate is value-hash exact."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        percentile_gate,
+    )
+
+    kept = percentile_gate(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        group_col="source",
+        value_col="n_chars",
+        pct=0.25,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_chars").alias("min_kept_chars"),
+        F.sum("n_chars").alias("sum_kept_chars"),
+        F.min("gate_threshold").cast("long").alias("threshold_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1626,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": q_bm25_search_docs,
         "groupwise_sample_docs": q_groupwise_sample_docs,
         "redact_docs": q_redact_docs,
+        "length_gate_docs": q_length_gate_docs,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -1671,9 +1698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
         "topk_events_per_user": q_topk_events_per_user,
-        "simhash_neardup_docs": q_simhash_neardup_docs,
         # ---- position 51+: long-stable pins displaced from the driver window
         # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
+        "simhash_neardup_docs": q_simhash_neardup_docs,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2701,5 +2728,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text_redacted) AS BIGINT) AS redacted_len,
                    n_emails, n_longnums
             FROM red
+        """,
+        # quantile_disc == GK sketch in its exact regime (group n <= accuracy)
+        "length_gate_docs": """
+            WITH thr AS (
+                SELECT source,
+                       quantile_disc(n_chars, 0.25) AS gate_threshold
+                FROM documents GROUP BY 1
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(min(d.n_chars) AS BIGINT) AS min_kept_chars,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars,
+                   CAST(min(t.gate_threshold) AS BIGINT) AS threshold_chars
+            FROM documents d
+            JOIN thr t USING (source)
+            WHERE d.n_chars >= t.gate_threshold
+            GROUP BY 1
         """,
     }

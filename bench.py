@@ -69,6 +69,7 @@ BATCH_QUERIES = [
     "idle_rich_customers",
     "groupwise_sample_docs",
     "redact_docs",
+    "length_gate_docs",
 ]
 
 

@@ -1060,3 +1060,34 @@ class TestRedactPii:
         # the 7-digit run lives inside the email: one email, zero longnums
         assert out["text_redacted"] == "reach <email> now"
         assert (out["n_emails"], out["n_longnums"]) == (1, 0)
+
+
+class TestPercentileGate:
+    def test_gate_cuts_at_group_order_statistic(self, spark):
+        import pandas as pd
+
+        from real_time_sliding_window_spark.operators.sampling import (
+            percentile_gate,
+        )
+
+        pdf = pd.DataFrame({
+            "doc_id": range(23),
+            "source": ["a"] * 20 + ["b"] * 3,
+            "n_chars": list(range(100, 2100, 100)) + [5, 7, 9],
+        })
+        out = percentile_gate(
+            spark.createDataFrame(pdf), "source", "n_chars", pct=0.25
+        ).toPandas()
+        for src, grp in pdf.groupby("source"):
+            kept = out[out.source == src]
+            thr = kept.gate_threshold.iloc[0]
+            # the cut is a MEMBER of the group (discrete order statistic)
+            assert thr in set(grp.n_chars)
+            # kept == exactly the rows at or above the cut
+            assert sorted(kept.n_chars) == sorted(
+                grp.n_chars[grp.n_chars >= thr]
+            )
+            # no more than pct of the group falls strictly below the cut
+            assert (grp.n_chars < thr).sum() <= 0.25 * len(grp)
+        # the 3-row group keeps at least its top rows (gate never empties)
+        assert (out.source == "b").sum() >= 1
