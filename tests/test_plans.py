@@ -278,3 +278,39 @@ def test_q4_semi_join_prunes_lineitem_scan(spark):
     assert sc["partial_agg"]
     plan = E.q_priority_late_orders(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_bucketed_postings_no_term_shuffle(spark):
+    """The 100 TB retrieval layout the retrieval module promises: persist
+    the postings table bucketed on `term` (storage.py) and the scoring
+    plan's term-side work — the df aggregation and the postings⋈df join —
+    rides the bucketing with ZERO hashpartitioning(term) Exchange; the
+    only shuffles left are over the (query_id, doc_id)-sized result."""
+    from pyspark.sql import functions as F
+
+    from real_time_sliding_window_spark.operators.retrieval import (
+        postings,
+        score_postings,
+    )
+    from real_time_sliding_window_spark.storage import write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    post = postings(docs)
+    n_docs = docs.count()
+    q = [("q", "spark window merge")]
+    try:
+        write_bucketed(post, "postings_b", ["term"], 4)
+        bucketed = score_postings(spark.table("postings_b"), n_docs, q, k=5)
+        bplan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(term" not in bplan, (
+            "term-side shuffle must be elided by the bucketed layout"
+        )
+        plain = score_postings(post, n_docs, q, k=5)
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(term" in pplan  # the shuffle it saves
+        # layout is semantically free: identical results
+        a = sorted(map(tuple, bucketed.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_b")
