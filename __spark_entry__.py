@@ -1625,6 +1625,50 @@ def q_length_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing with an oracle row (the family previously had
+    pytest-only coverage): build a deterministic media table FROM the
+    documents parquet (payload = UTF-8 text bytes; kind/duration derived
+    from doc_id/n_chars — both engines construct identical rows), then run
+    the REAL operators: `multimodal.extract_features` (JVM-side md5/length
+    + the Arrow mapInPandas decode pass — the stub decoder runs, its
+    non-SQL `features` column is dropped from the output) and
+    `multimodal.frame_sample` (metadata-driven frame offsets), reduced to
+    frames-per-media. The oracle replays the metadata arithmetic
+    (sequence length = floor(stop/step)+1) — so schema, payload bytes,
+    hashing, and the sampling plan are all value-hash gated even though
+    real codecs aren't in the container."""
+    from real_time_sliding_window_spark.operators import multimodal as M
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    feats = M.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
+    frames = (
+        M.frame_sample(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "content_hash",
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1653,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupwise_sample_docs": q_groupwise_sample_docs,
         "redact_docs": q_redact_docs,
         "length_gate_docs": q_length_gate_docs,
+        "media_pipeline_docs": q_media_pipeline_docs,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -1697,9 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_docs": q_dedup_pipeline_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
-        "topk_events_per_user": q_topk_events_per_user,
         # ---- position 51+: long-stable pins displaced from the driver window
         # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
+        "topk_events_per_user": q_topk_events_per_user,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2745,5 +2790,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN thr t USING (source)
             WHERE d.n_chars >= t.gate_threshold
             GROUP BY 1
+        """,
+        # payload = UTF-8 text bytes, so md5(text) == md5(payload) and
+        # strlen (bytes) == the Spark binary length; frame count replays
+        # sequence-length arithmetic floor(stop/step)+1
+        "media_pipeline_docs": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_hash,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN greatest(n_chars * 10 - 1, 0) // 1000 + 1
+                             ELSE 0 END AS BIGINT) AS n_frames
+            FROM documents
         """,
     }

@@ -70,6 +70,7 @@ BATCH_QUERIES = [
     "groupwise_sample_docs",
     "redact_docs",
     "length_gate_docs",
+    "media_pipeline_docs",
 ]
 
 
