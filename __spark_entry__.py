@@ -1625,6 +1625,33 @@ def q_length_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature source balancing (r5,
+    operators/sampling.py::temperature_mixture): alpha=0.5 multinomial
+    smoothing over char-weighted source sizes — each source keeps
+    rate (min_size/size)^0.5 via the content-addressed hash buckets, so
+    the head source is thinned hardest and the smallest keeps 100%.
+    Reports per-source rate and survivor count. alpha=0.5 lowers the
+    power to IEEE sqrt, making the floor'd integer rate bit-identical
+    across engines — the oracle replays the formula exactly."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    kept = temperature_mixture(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        source_col="source",
+        alpha=0.5,
+        n_buckets=1000,
+        weight_col="n_chars",
+    )
+    return kept.groupBy("source", "rate_pm").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def q_media_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with an oracle row (the family previously had
     pytest-only coverage): build a deterministic media table FROM the
@@ -1698,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_docs": q_redact_docs,
         "length_gate_docs": q_length_gate_docs,
         "media_pipeline_docs": q_media_pipeline_docs,
+        "temperature_mixture_docs": q_temperature_mixture_docs,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -2790,6 +2818,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN thr t USING (source)
             WHERE d.n_chars >= t.gate_threshold
             GROUP BY 1
+        """,
+        # alpha=0.5 -> sqrt, IEEE-correctly-rounded on both engines, so the
+        # floor'd per-mille rate is bit-identical; sizes are exact integer
+        # sums cast to double; buckets are the shared md5 hex expression
+        "temperature_mixture_docs": """
+            WITH sizes AS (
+                SELECT source, CAST(sum(n_chars) AS DOUBLE) AS src_size
+                FROM documents GROUP BY 1
+            ),
+            rates AS (
+                SELECT source,
+                       CAST(floor(sqrt((SELECT min(src_size) FROM sizes)
+                                       / src_size) * 1000.0) AS BIGINT)
+                           AS rate_pm
+                FROM sizes
+            )
+            SELECT d.source, r.rate_pm,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+            FROM documents d
+            JOIN rates r USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 1000 < r.rate_pm
+            GROUP BY 1, 2
         """,
         # payload = UTF-8 text bytes, so md5(text) == md5(payload) and
         # strlen (bytes) == the Spark binary length; frame count replays

@@ -98,6 +98,69 @@ def mixture_sample(
     return df.filter(b * F.lit(100) < rate * F.lit(n_buckets))
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    n_buckets: int = 1000,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based source balancing — the multilingual-LLM sampling
+    rule (alpha-smoothed multinomial, as in public mBERT/XLM-R recipes):
+    re-weight a skewed corpus so the effective mixture over sources is
+    proportional to ``size_i ** alpha`` instead of raw ``size_i``,
+    flattening head sources and up-weighting the tail.
+
+    Down-sampling only: each source keeps rate
+    ``r_i = (min_size / size_i) ** (1 - alpha)`` — the SMALLEST source
+    keeps 100% and every larger source is thinned toward the target
+    mixture (alpha=1 keeps everything; alpha=0 equalizes sources to the
+    smallest). Rates are applied through the same content-addressed
+    ``hash_bucket`` as mixture_sample, so the selection inherits its
+    reproducibility: stable under reruns, repartitionings, engines, and
+    incremental ingest of already-seen sources.
+
+    SCALE SHAPE — everything stays in the plan, nothing on the driver:
+    (1) one partial+final agg to a sources-sized count table, (2) a
+    1-row global-min broadcast onto it, (3) the rate table broadcast
+    back onto the scan as an equi-join + map-side filter. Two scans of
+    ``df`` total (counts + filter), zero wide shuffles of data rows.
+
+    ``size_i`` is row count, or ``sum(weight_col)`` when given (e.g.
+    token counts — mixtures are usually specified over tokens).
+
+    ORACLE PARITY: the default ``alpha=0.5`` lowers the power to
+    ``sqrt``, which IEEE-754 requires to be correctly rounded — the
+    floor'd integer rate is bit-identical on Spark and DuckDB. Other
+    alphas use ``power()``, correct to libm precision; a rate on a
+    1-ulp knife edge could differ across engines (documented, not
+    gated).
+
+    Output: input rows of the kept sample plus ``rate_pm`` (the
+    source's keep-rate in ``n_buckets``-ths).
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"temperature_mixture: alpha must be in [0,1], got {alpha}")
+    size = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double").alias("src_size")
+    counts = df.groupBy(source_col).agg(size)
+    gmin = counts.agg(F.min("src_size").alias("min_size"))
+    ratio = F.col("min_size") / F.col("src_size")
+    r = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = (
+        counts.crossJoin(F.broadcast(gmin))
+        .select(
+            source_col,
+            F.floor(r * F.lit(float(n_buckets))).cast("long").alias("rate_pm"),
+        )
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        hash_bucket(key_col, n_buckets) < F.col("rate_pm")
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,

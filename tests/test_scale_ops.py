@@ -638,6 +638,70 @@ class TestSampling:
             df, "doc_id", "source", {"s0": 100}, n_buckets=1000
         ).count() == 4000
 
+    def test_temperature_mixture(self, spark):
+        """r5: alpha-temperature source balancing. alpha=1 keeps
+        everything (rate 100% per source); alpha=0 equalizes toward the
+        smallest source (rate = min/size); alpha=0.5 thins the head by
+        sqrt(min/size); the smallest source always keeps 100%; the kept
+        set equals per-source hash_sample at the computed rate
+        (content-addressed composition carries over)."""
+        from pyspark.sql import functions as SF
+
+        from real_time_sliding_window_spark.operators import sampling
+
+        # sources of size 4000 / 1000 / 250 (16:4:1 head skew)
+        df = spark.range(5250).select(
+            F.col("id").alias("doc_id"),
+            SF.when(F.col("id") < 4000, "big")
+            .when(F.col("id") < 5000, "mid")
+            .otherwise("small")
+            .alias("source"),
+        )
+        # alpha=1: no thinning at all
+        assert (
+            sampling.temperature_mixture(df, "doc_id", "source", alpha=1.0)
+            .count() == 5250
+        )
+        # alpha=0.5: rates = sqrt(250/size) -> big 250, mid 500, small 1000 pm
+        out = sampling.temperature_mixture(
+            df, "doc_id", "source", alpha=0.5
+        ).toPandas()
+        rates = out.groupby("source").rate_pm.first().to_dict()
+        assert rates == {"big": 250, "mid": 500, "small": 1000}
+        by = out.groupby("source").size().to_dict()
+        assert by["small"] == 250                      # min source: all kept
+        assert abs(by["big"] / 4000 - 0.25) < 0.05     # ~25%
+        assert abs(by["mid"] / 1000 - 0.50) < 0.07     # ~50%
+        # alpha=0: equalize -> rate = min/size (big 62 pm, floor'd)
+        eq = sampling.temperature_mixture(
+            df, "doc_id", "source", alpha=0.0
+        ).toPandas()
+        assert eq.groupby("source").rate_pm.first().to_dict() == {
+            "big": 62, "mid": 250, "small": 1000
+        }
+        # composition: kept big-rows == hash_sample at 250/1000 on that source
+        only_big = sampling.hash_sample(
+            df.filter(F.col("source") == "big"), "doc_id", 250, n_buckets=1000
+        ).toPandas()
+        assert sorted(out[out.source == "big"].doc_id) == sorted(
+            only_big.doc_id
+        )
+        # weight_col changes sizes: weight 'small' heaviest so it is no
+        # longer the 100% source
+        wdf = df.withColumn(
+            "w",
+            SF.when(F.col("source") == "small", 1000).otherwise(1).cast("long"),
+        )
+        wout = sampling.temperature_mixture(
+            wdf, "doc_id", "source", alpha=0.5, weight_col="w"
+        ).toPandas()
+        wrates = wout.groupby("source").rate_pm.first().to_dict()
+        assert wrates["mid"] == 1000 and wrates["small"] < 100
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sampling.temperature_mixture(df, "doc_id", "source", alpha=1.5)
+
     def test_token_budget_select_edges(self, spark):
         """r4: the two-pass stratum plan equals the naive prefix rule on
         crafted strata, including both edge regimes — whole corpus fits
