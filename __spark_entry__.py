@@ -1652,6 +1652,42 @@ def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_splits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splits (r5,
+    operators/sampling.py::leakage_safe_splits): the split key is the
+    near-dup cluster representative, so no near-duplicate pair can
+    straddle train and eval — zero straddle by key choice. Full
+    per-doc assignment is the gated output (doc_id, cluster_id,
+    cluster_size, split); the oracle rebuilds the identical clusters
+    (recursive-CTE components over the df-capped ngram pairs) and
+    applies the identical md5 split expression to cluster_id."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    return leakage_safe_splits(
+        _docs(spark, sf_dir), train_pct=80, val_pct=10,
+        min_jaccard=0.5, max_df=128,
+    ).select("doc_id", "cluster_id", "cluster_size", "split")
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact Gramian over the embedding corpus (r5,
+    operators/linalg.py::gram_matrix): per-partition numpy X^T X
+    partials through Arrow mapInPandas, one tiny (i,j) sum agg —
+    shuffle volume partitions x d(d+1)/2 rows, corpus-size-independent.
+    Quantized int64 throughout, so the 2,145 output rows (upper
+    triangle + column sums + count) are bit-identical to the oracle's
+    naive per-element replay. This is the fixed-size-summary doctrine
+    (kmeans centroids, GK sketches) applied to second moments — the
+    substrate for distributed PCA (linalg.pca_fit, pytest-gated since
+    eigh is not SQL-expressible)."""
+    from real_time_sliding_window_spark.operators.linalg import gram_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_matrix(emb, dim=64, scale=1000)
+
+
 def q_media_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with an oracle row (the family previously had
     pytest-only coverage): build a deterministic media table FROM the
@@ -1726,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_gate_docs": q_length_gate_docs,
         "media_pipeline_docs": q_media_pipeline_docs,
         "temperature_mixture_docs": q_temperature_mixture_docs,
+        "leakage_safe_splits_docs": q_leakage_safe_splits_docs,
+        "embedding_gram": q_embedding_gram,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -1767,11 +1805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "neardup_clusters_docs": q_neardup_clusters_docs,
+        # ---- position 51+: long-stable pins displaced from the driver window
+        # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
         "dedup_pipeline_docs": q_dedup_pipeline_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
-        # ---- position 51+: long-stable pins displaced from the driver window
-        # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
         "topk_events_per_user": q_topk_events_per_user,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "embedding_neardup": q_embedding_neardup,
@@ -2818,6 +2856,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN thr t USING (source)
             WHERE d.n_chars >= t.gate_threshold
             GROUP BY 1
+        """,
+        # naive per-element replay of the one-pass Gramian: same quantize
+        # expression, exact integer products/sums; (i,0)=column sums,
+        # (0,0)=row count ride the same 3-column shape
+        "embedding_gram": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS qv
+                FROM embeddings
+            ),
+            idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+            ex AS (
+                SELECT q.vec_id, idx.i, qv[idx.i] AS val
+                FROM q CROSS JOIN idx
+            ),
+            tri AS (
+                SELECT a.i AS i, b.i AS j,
+                       CAST(sum(a.val * b.val) AS BIGINT) AS dot
+                FROM ex a JOIN ex b
+                  ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2
+            ),
+            sums AS (
+                SELECT i, CAST(0 AS BIGINT) AS j,
+                       CAST(sum(val) AS BIGINT) AS dot
+                FROM ex GROUP BY 1
+            ),
+            cnt AS (
+                SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+                       CAST(count(*) AS BIGINT) AS dot
+                FROM q
+            )
+            SELECT i, j, dot FROM tri
+            UNION ALL SELECT i, j, dot FROM sums
+            UNION ALL SELECT i, j, dot FROM cnt
+        """,
+        # identical clusters (recursive-CTE components over the df-capped
+        # pairs) + the identical md5 split expression keyed on cluster_id
+        "leakage_safe_splits_docs": f"""
+            WITH clusters AS ({_CLUSTERS_SQL})
+            SELECT doc_id, cluster_id, cluster_size,
+                   CASE
+                     WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                          1, 4))::BIGINT % 100 < 80
+                       THEN 'train'
+                     WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                          1, 4))::BIGINT % 100 < 90
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM clusters
         """,
         # alpha=0.5 -> sqrt, IEEE-correctly-rounded on both engines, so the
         # floor'd per-mille rate is bit-identical; sizes are exact integer

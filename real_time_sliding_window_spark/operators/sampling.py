@@ -98,6 +98,49 @@ def mixture_sample(
     return df.filter(b * F.lit(100) < rate * F.lit(n_buckets))
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    min_jaccard: float = 0.5,
+    max_df: int = 128,
+) -> DataFrame:
+    """Train/val/test assignment hashed on the near-dup CLUSTER id, not
+    the document id — the eval-leakage defense: a near-duplicate of a
+    training document can never land in val/test, because every member
+    of a connected near-dup cluster shares one content-addressed split
+    decision.
+
+    Plain ``split_assignment(doc_id)`` is leaky by construction: two
+    docs at Jaccard 0.9 hash independently, so ~20% of near-dup pairs
+    straddle train/eval and the eval set silently rehearses training
+    data. Here the split key is the cluster representative (min doc_id
+    over the df-capped ngram-Jaccard connected components —
+    dedup.neardup_clusters), so the straddle rate is zero BY KEY
+    CHOICE, not by post-hoc filtering. Singleton docs hash exactly as
+    before (their cluster_id is their own doc_id), so the split is
+    unchanged for the non-duplicated bulk of the corpus.
+
+    Scale shape: inherits the cluster pipeline's bounds (df-capped
+    candidates, checkpointed components); the split itself is the same
+    map-side expression as split_assignment. Percentages apply to
+    CLUSTERS; doc-level proportions shift only by the duplicated mass
+    (reported per-split by the caller if needed).
+
+    Output: (doc_id, cluster_id, cluster_size, split).
+    """
+    from real_time_sliding_window_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    clusters = neardup_clusters(
+        docs, min_jaccard=min_jaccard, max_df=max_df
+    )
+    return split_assignment(
+        clusters, "cluster_id", train_pct=train_pct, val_pct=val_pct
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     key_col: str,

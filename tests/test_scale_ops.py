@@ -638,6 +638,41 @@ class TestSampling:
             df, "doc_id", "source", {"s0": 100}, n_buckets=1000
         ).count() == 4000
 
+    def test_leakage_safe_splits(self, spark):
+        """r5: no near-dup cluster straddles splits (zero leakage by key
+        choice); singleton docs keep exactly the split that
+        split_assignment(doc_id) would give them (cluster_id == doc_id);
+        near-dup members inherit the representative's split."""
+        from pyspark.sql import functions as SF
+
+        from real_time_sliding_window_spark.operators import sampling
+
+        # 30 distinct docs + 3 near-identical variants of doc 0
+        base = [(i, f"alpha bravo charlie delta echo {i} fox golf hotel india") for i in range(30)]
+        dups = [
+            (100 + j, "alpha bravo charlie delta echo 0 fox golf hotel india")
+            for j in range(3)
+        ]
+        df = spark.createDataFrame(base + dups, ["doc_id", "text"])
+        out = sampling.leakage_safe_splits(
+            df, train_pct=60, val_pct=20, min_jaccard=0.5, max_df=128
+        ).toPandas()
+        assert len(out) == 33
+        # every cluster maps to exactly one split
+        straddle = out.groupby("cluster_id").split.nunique()
+        assert (straddle == 1).all()
+        # the doc-0 family is one cluster of 4, same split everywhere
+        fam = out[out.doc_id.isin([0, 100, 101, 102])]
+        assert set(fam.cluster_id) == {0} and fam.split.nunique() == 1
+        # singletons: split identical to plain doc_id-keyed assignment
+        plain = sampling.split_assignment(
+            df.select("doc_id"), "doc_id", train_pct=60, val_pct=20
+        ).toPandas().set_index("doc_id")["split"]
+        singles = out[out.cluster_size == 1]
+        assert len(singles) > 0
+        for _, r in singles.iterrows():
+            assert plain[r.doc_id] == r.split
+
     def test_temperature_mixture(self, spark):
         """r5: alpha-temperature source balancing. alpha=1 keeps
         everything (rate 100% per source); alpha=0 equalizes toward the
@@ -1155,3 +1190,97 @@ class TestPercentileGate:
             assert (grp.n_chars < thr).sum() <= 0.25 * len(grp)
         # the 3-row group keeps at least its top rows (gate never empties)
         assert (out.source == "b").sum() >= 1
+
+
+class TestLinalg:
+    """r5: one-pass Gramian + driver-side PCA (the fixed-size-summary
+    doctrine applied to second moments)."""
+
+    def _emb(self, spark, n=120, d=8, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # low-rank structure + noise so PCA has a meaningful spectrum
+        basis = rng.normal(size=(3, d))
+        x = rng.normal(size=(n, 3)) @ basis + 0.05 * rng.normal(size=(n, d))
+        rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            x,
+        )
+
+    def test_gram_matrix_exact_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators import linalg
+
+        df, x = self._emb(spark)
+        q = np.round(x.astype(np.float64) * 1000).astype(np.int64)
+        want = q.T @ q
+        got = {
+            (r["i"], r["j"]): r["dot"]
+            for r in linalg.gram_matrix(df, dim=8).collect()
+        }
+        assert got[(0, 0)] == len(x)
+        for i in range(8):
+            assert got[(i + 1, 0)] == q[:, i].sum()
+            for j in range(i, 8):
+                assert got[(i + 1, j + 1)] == want[i, j], (i, j)
+        # partition-invariant (int math is associative): 1 vs 13 slices
+        got13 = {
+            (r["i"], r["j"]): r["dot"]
+            for r in linalg.gram_matrix(df.repartition(13), dim=8).collect()
+        }
+        assert got == got13
+        # mergeable: gram(A ∪ B) == gram(A) + gram(B) pointwise
+        a = df.filter(F.col("vec_id") < 60)
+        b = df.filter(F.col("vec_id") >= 60)
+        ga = {(r["i"], r["j"]): r["dot"] for r in linalg.gram_matrix(a, dim=8).collect()}
+        gb = {(r["i"], r["j"]): r["dot"] for r in linalg.gram_matrix(b, dim=8).collect()}
+        assert got == {k: ga[k] + gb[k] for k in got}
+
+    def test_pca_fit_matches_numpy_and_projects(self, spark):
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators import linalg
+
+        df, x = self._emb(spark)
+        comps, evals, mu = linalg.pca_fit(df, k=3, dim=8)
+        # against numpy PCA on the quantized data (the operator's contract
+        # is over quantized vectors; quantization noise is ~1e-3)
+        xq = np.round(x.astype(np.float64) * 1000) / 1000.0
+        mu_np = xq.mean(axis=0)
+        cov = (xq - mu_np).T @ (xq - mu_np) / len(xq)
+        ev_np, evec_np = np.linalg.eigh(cov)
+        order = np.argsort(ev_np)[::-1][:3]
+        assert np.allclose(mu, mu_np, atol=1e-9)
+        assert np.allclose(evals, ev_np[order], rtol=1e-9)
+        # eigenvectors match up to the pinned sign convention
+        for c in range(3):
+            v = evec_np[:, order[c]]
+            v = v * np.sign(v[np.abs(v).argmax()])
+            assert np.allclose(comps[:, c], v, atol=1e-9), c
+        # orthonormal
+        assert np.allclose(comps.T @ comps, np.eye(3), atol=1e-12)
+        # distributed projection == numpy projection on ORIGINAL floats
+        proj = {
+            r["vec_id"]: np.array(r["pca"])
+            for r in linalg.pca_project(df, comps, mu).collect()
+        }
+        xf = np.array([[np.float32(v) for v in row] for row in x], dtype=np.float64)
+        want = (xf - mu) @ comps
+        for i in range(len(x)):
+            assert np.allclose(proj[i], want[i], atol=1e-9), i
+        # variance actually concentrates: top-3 explain > 95% here
+        assert evals.sum() / cov.trace() > 0.95
+
+    def test_pca_fit_raises_on_tiny_corpus(self, spark):
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.operators import linalg
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0])], ["vec_id", "embedding"]
+        )
+        with _pytest.raises(ValueError):
+            linalg.pca_fit(df, k=1, dim=2)
