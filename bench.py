@@ -71,6 +71,9 @@ BATCH_QUERIES = [
     "redact_docs",
     "length_gate_docs",
     "media_pipeline_docs",
+    "temperature_mixture_docs",
+    "leakage_safe_splits_docs",
+    "embedding_gram",
 ]
 
 

@@ -105,6 +105,15 @@ def pca_fit(
     so runs are comparable even though eigenvectors are sign-ambiguous.
     """
     rows = gram_matrix(emb, id_col, vec_col, dim=dim, scale=scale).collect()
+    return pca_from_gram_rows(rows, k=k, dim=dim, scale=scale)
+
+
+def pca_from_gram_rows(
+    rows, k: int = 8, dim: int = 64, scale: int = 1000
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PCA from already-collected Gramian rows (the ``gram_matrix``
+    output shape, or summed partials from the incremental index —
+    integer Gramians ADD, so the two are bit-identical inputs)."""
     g = np.zeros((dim, dim), dtype=np.float64)
     s = np.zeros(dim, dtype=np.float64)
     n = 0

@@ -2405,3 +2405,55 @@ class TestBm25OverIndex:
         from_idx = bm25_score_postings(idx, q, k=5).toPandas()
         from_batch = bm25_topk(full, q, k=5).toPandas()
         assert key(from_idx) == key(from_batch)
+
+
+class TestGramIndex:
+    """r5: incremental Gramian index — exact integer partials per batch
+    through the exactly-once sink; totals are BIT-IDENTICAL to the batch
+    Gramian (integers add), so incremental PCA == full refit."""
+
+    def test_incremental_equals_batch_and_pca_refit(self, spark, tmp_path):
+        import numpy as np
+
+        from real_time_sliding_window_spark.operators import linalg
+        from real_time_sliding_window_spark.streaming.moments import (
+            gram_totals,
+            run_gram_index,
+        )
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(90, 8))
+        schema = "vec_id long, embedding array<double>"
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(lo, hi)], schema
+        )
+
+        feed = FileFeed(spark, str(tmp_path / "gram_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "gram_idx"))
+        ckpt = str(tmp_path / "gram_ckpt")
+        for lo, hi in ((0, 30), (30, 75), (75, 90)):
+            feed.push(mk(lo, hi))
+            run_gram_index(
+                feed.stream(schema), sink, ckpt, dim=8
+            )
+        # replayed empty trigger: exactly-once manifest keeps totals fixed
+        run_gram_index(feed.stream(schema), sink, ckpt, dim=8)
+
+        idx = sink.read_committed(spark)
+        # 3 committed batches x 45 rows (36 triangle + 8 sums + 1 count)
+        assert idx.count() == 3 * 45
+        totals = {
+            (r["i"], r["j"]): r["dot"] for r in gram_totals(idx).collect()
+        }
+        batch = {
+            (r["i"], r["j"]): r["dot"]
+            for r in linalg.gram_matrix(mk(0, 90), dim=8).collect()
+        }
+        assert totals == batch  # exact integer equality
+        # incremental PCA == full refit, bit-for-bit (same constants in)
+        ci, ei, mi = linalg.pca_from_gram_rows(
+            gram_totals(idx).collect(), k=3, dim=8
+        )
+        cf, ef, mf = linalg.pca_fit(mk(0, 90), k=3, dim=8)
+        assert np.array_equal(ci, cf) and np.array_equal(ei, ef)
+        assert np.array_equal(mi, mf)
