@@ -1688,6 +1688,20 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(emb, dim=64, scale=1000)
 
 
+def q_token_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (r5, operators/drift.py::token_drift): the
+    25 most-drifted tokens between sources src0 and src1 by exact
+    integer parts-per-million frequency delta. One explode + one
+    conditional-count agg over the vocabulary, a 2-scalar totals
+    collect, a distributed top-k — no join between slices. All integer
+    math (floor'd ppm), so hash-exact against the DuckDB replay."""
+    from real_time_sliding_window_spark.operators.drift import token_drift
+
+    return token_drift(
+        _docs(spark, sf_dir), "source", "src0", "src1", top_k=25
+    )
+
+
 def q_media_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with an oracle row (the family previously had
     pytest-only coverage): build a deterministic media table FROM the
@@ -1764,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_docs": q_temperature_mixture_docs,
         "leakage_safe_splits_docs": q_leakage_safe_splits_docs,
         "embedding_gram": q_embedding_gram,
+        "token_drift_docs": q_token_drift_docs,
         # -- r3/r4 additions, never yet in the driver window (r5 rotation) --
         "repetition_docs": q_repetition_docs,
         "tfidf_search_docs": q_tfidf_search_docs,
@@ -1804,9 +1819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_and_purchase_users": q_click_and_purchase_users,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
-        "neardup_clusters_docs": q_neardup_clusters_docs,
         # ---- position 51+: long-stable pins displaced from the driver window
         # (driver-green in r3 AND r4; still checked by tools/oracle_check.py) --
+        "neardup_clusters_docs": q_neardup_clusters_docs,
         "dedup_pipeline_docs": q_dedup_pipeline_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_docs": q_pack_docs,
@@ -2856,6 +2871,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN thr t USING (source)
             WHERE d.n_chars >= t.gate_threshold
             GROUP BY 1
+        """,
+        # same tokenizer, exact integer ppm (// is DuckDB integer division,
+        # div is Spark's), same (delta DESC, token ASC) total order
+        "token_drift_docs": f"""
+            WITH ex AS (
+                SELECT source, unnest({_TOK}) AS token
+                FROM documents WHERE source IN ('src0', 'src1')
+            ),
+            per_tok AS (
+                SELECT token,
+                       count(*) FILTER (source = 'src0') AS cnt_a,
+                       count(*) FILTER (source = 'src1') AS cnt_b
+                FROM ex GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM per_tok
+            )
+            SELECT token,
+                   CAST(cnt_a AS BIGINT) AS cnt_a,
+                   CAST(cnt_b AS BIGINT) AS cnt_b,
+                   CAST((cnt_a * 1000000) // tot_a AS BIGINT) AS ppm_a,
+                   CAST((cnt_b * 1000000) // tot_b AS BIGINT) AS ppm_b,
+                   CAST(abs((cnt_a * 1000000) // tot_a
+                            - (cnt_b * 1000000) // tot_b) AS BIGINT)
+                       AS delta_ppm
+            FROM per_tok CROSS JOIN tot
+            ORDER BY delta_ppm DESC, token ASC
+            LIMIT 25
         """,
         # naive per-element replay of the one-pass Gramian: same quantize
         # expression, exact integer products/sums; (i,0)=column sums,

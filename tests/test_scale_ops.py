@@ -1284,3 +1284,50 @@ class TestLinalg:
         )
         with _pytest.raises(ValueError):
             linalg.pca_fit(df, k=1, dim=2)
+
+
+class TestTokenDrift:
+    def test_known_fixture_and_contracts(self, spark):
+        """r5: exact ppm deltas on a crafted two-slice corpus; symmetric
+        under slice swap (delta unchanged); raises on an empty slice."""
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.operators.drift import token_drift
+
+        df = spark.createDataFrame(
+            [
+                (0, "a", "x x x y"),       # slice a: x:3 y:1 (tot 4)
+                (1, "a", "x y z"),         #          x:4 y:2 z:1... tot 7
+                (2, "b", "x y y"),         # slice b: x:1 y:2 (tot 5)
+                (3, "b", "q y"),           #          q:1 y:3
+                (4, "c", "ignored words"),
+            ],
+            ["doc_id", "source", "text"],
+        )
+        out = {
+            r["token"]: r
+            for r in token_drift(df, "source", "a", "b").collect()
+        }
+        # slice a totals: x4 y2 z1 -> 7; slice b: x1 y3 q1 -> 5
+        assert out["x"]["ppm_a"] == 4 * 1_000_000 // 7
+        assert out["x"]["ppm_b"] == 1 * 1_000_000 // 5
+        assert out["x"]["delta_ppm"] == abs(4000000 // 7 - 200000)
+        assert out["q"]["cnt_a"] == 0 and out["q"]["ppm_a"] == 0
+        assert out["z"]["cnt_b"] == 0
+        assert "ignored" not in out  # other slices excluded
+        # swap symmetry: deltas identical
+        rev = {
+            r["token"]: r["delta_ppm"]
+            for r in token_drift(df, "source", "b", "a").collect()
+        }
+        assert rev == {t: r["delta_ppm"] for t, r in out.items()}
+        # top_k is a deterministic prefix of (delta DESC, token ASC)
+        all_sorted = sorted(
+            out.values(), key=lambda r: (-r["delta_ppm"], r["token"])
+        )
+        top2 = token_drift(df, "source", "a", "b", top_k=2).collect()
+        assert [(r["token"]) for r in top2] == [
+            r["token"] for r in all_sorted[:2]
+        ]
+        with _pytest.raises(ValueError, match="empty slice"):
+            token_drift(df, "source", "a", "nosuch")
