@@ -59,6 +59,14 @@ def token_drift(
         F.count(F.when(F.col("_slice") == slice_a, 1)).alias("cnt_a"),
         F.count(F.when(F.col("_slice") == slice_b, 1)).alias("cnt_b"),
     )
+    return _drift_from_counts(per_tok, top_k=top_k, ppm=ppm)
+
+
+def _drift_from_counts(
+    per_tok: DataFrame, top_k: int | None, ppm: int
+) -> DataFrame:
+    """ppm tail shared by the batch and incremental paths: ``per_tok``
+    is (token, cnt_a, cnt_b) exact counts."""
     tot = per_tok.agg(
         F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
     )
@@ -80,3 +88,70 @@ def token_drift(
             F.col("delta_ppm").desc(), F.col("token").asc()
         ).limit(top_k)
     return out
+
+
+def run_token_count_index(
+    stream: DataFrame,
+    sink,
+    checkpoint: str,
+    slice_col: str,
+    text_col: str = "text",
+):
+    """Incremental drift substrate: append one (slice, token, cnt) row
+    per (slice, token) per micro-batch through the exactly-once sink.
+    Token counts are exactly additive (the Gramian-index property), so
+    summing any batch RANGE of the index reproduces the batch counts of
+    that range bit-for-bit — drift between "last hour" and "the week
+    before" is two prefix sums over the log, never a corpus rescan.
+    Redelivered batches are dropped by the sink's marker; unlike the
+    postings index, re-arriving VALUES are fine (counts mean
+    occurrences, not identity)."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        sink.write_batch(
+            batch.select(
+                F.col(slice_col).alias("slice"),
+                F.explode(C.tokens(text_col)).alias("token"),
+            )
+            .groupBy("slice", "token")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName("token-count-index")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def drift_from_index(
+    index: DataFrame,
+    slice_a: str,
+    slice_b: str,
+    top_k: int | None = None,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Drift between two slices from the incremental token-count index
+    (``run_token_count_index`` output, optionally pre-filtered by
+    batch_id range via ``read_committed(with_batch_id=True)``). Sums the
+    per-batch counts — exact, so the result equals ``token_drift`` over
+    the same underlying rows bit-for-bit (pinned in pytest)."""
+    per_tok = (
+        index.filter(F.col("slice").isin([slice_a, slice_b]))
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.when(F.col("slice") == slice_a, F.col("cnt")).otherwise(0)
+            ).alias("cnt_a"),
+            F.sum(
+                F.when(F.col("slice") == slice_b, F.col("cnt")).otherwise(0)
+            ).alias("cnt_b"),
+        )
+    )
+    return _drift_from_counts(per_tok, top_k=top_k, ppm=ppm)

@@ -1331,3 +1331,45 @@ class TestTokenDrift:
         ]
         with _pytest.raises(ValueError, match="empty slice"):
             token_drift(df, "source", "a", "nosuch")
+
+    def test_incremental_index_equals_batch(self, spark, tmp_path):
+        """r5: counts through the exactly-once sink are exactly additive —
+        drift_from_index over the accumulated log equals token_drift over
+        the same corpus bit-for-bit, including after an empty replay."""
+        from real_time_sliding_window_spark.operators.drift import (
+            drift_from_index,
+            run_token_count_index,
+            token_drift,
+        )
+        from real_time_sliding_window_spark.sources.streams import FileFeed
+        from real_time_sliding_window_spark.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+
+        schema = "doc_id long, source string, text string"
+        rows = [
+            (0, "a", "x x x y"),
+            (1, "a", "x y z"),
+            (2, "b", "x y y"),
+            (3, "b", "q y"),
+            (4, "c", "ignored words"),
+        ]
+        feed = FileFeed(spark, str(tmp_path / "tci_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "tci_idx"))
+        ckpt = str(tmp_path / "tci_ckpt")
+        for lo, hi in ((0, 2), (2, 5)):
+            feed.push(spark.createDataFrame(rows[lo:hi], schema))
+            run_token_count_index(feed.stream(schema), sink, ckpt, "source")
+        run_token_count_index(feed.stream(schema), sink, ckpt, "source")
+
+        df = spark.createDataFrame(rows, schema)
+        key = lambda rs: sorted(map(tuple, (r for r in rs)))
+        from_idx = drift_from_index(
+            sink.read_committed(spark), "a", "b"
+        ).collect()
+        from_batch = token_drift(df, "source", "a", "b").collect()
+        assert key(from_idx) == key(from_batch)
+        # top-k prefix agrees too
+        ti = drift_from_index(sink.read_committed(spark), "a", "b", top_k=2)
+        tb = token_drift(df, "source", "a", "b", top_k=2)
+        assert key(ti.collect()) == key(tb.collect())
