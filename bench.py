@@ -212,7 +212,7 @@ def bench_streaming(spark, n_convs: int, mean_turns: int) -> dict:
     # (state round-trips amortized; the number a big cluster sees when
     # micro-batches are sized to the input rate).
     dt_dr, n_dr = run_best(
-        lambda: ring(32), "bench_ring_drain", floor_tps=50_000
+        lambda: ring(32), "bench_ring_drain", floor_tps=55_000
     )
     results["ring_buffer_drain_sec"] = round(dt_dr, 2)
     results["ring_buffer_drain_turns_per_sec"] = round(total_rows / dt_dr)

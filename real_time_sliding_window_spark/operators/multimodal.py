@@ -115,6 +115,60 @@ def extract_features(
     return prepped.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _fake_resize(
+    payload: pd.Series, target_w: int, target_h: int
+) -> list[bytes]:
+    """Deterministic stand-in for a real image resampler: nearest-neighbor
+    subsample of the payload BYTES to exactly target_w*target_h bytes.
+
+    STUB — replace with PIL/opencv in a codec-equipped runtime. The
+    surrounding plumbing (schema-preserving output, metadata rewrite,
+    bounded batch slices) is the real contract.
+    """
+    n_out = target_w * target_h
+    out = []
+    for buf in payload:
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if len(arr) == 0:
+            out.append(bytes(n_out))
+            continue
+        idx = (np.arange(n_out, dtype=np.int64) * len(arr)) // n_out
+        out.append(arr[idx].tobytes())
+    return out
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Resize every IMAGE row to (target_w, target_h), passing the payload
+    through the (stubbed) resample kernel and rewriting the metadata;
+    non-image rows are filtered (resize is an image op — run video
+    through ``frame_sample`` first). Output keeps ``MEDIA_SCHEMA``, so
+    resizes compose with ``extract_features`` and further passes. The
+    kernel yields ``batch_rows``-sized slices — bounded Python memory at
+    any Arrow batch size, the same discipline as ``extract_features``.
+    """
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(
+            f"resize_images: target must be positive, got {target_w}x{target_h}"
+        )
+    images = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sl = pdf.iloc[lo:lo + batch_rows].copy()
+                sl["payload"] = _fake_resize(sl["payload"], target_w, target_h)
+                sl["width"] = np.int32(target_w)
+                sl["height"] = np.int32(target_h)
+                yield sl
+
+    return images.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled frame offset.
 

@@ -520,6 +520,32 @@ class TestMultimodal:
         per_media = frames.groupby("media_id").size()
         assert (per_media == 5).all()  # 5000ms / 1000ms
 
+    def test_resize_images(self, spark):
+        """r5: schema-preserving resize — image rows only, payload exactly
+        w*h bytes, metadata rewritten, deterministic across partitionings,
+        and the output composes with extract_features."""
+        media = multimodal.synthesize_media(spark, n=24)
+        out = multimodal.resize_images(media, 8, 4).toPandas()
+        n_images = media.filter(F.col("kind") == "image").count()
+        assert len(out) == n_images > 0
+        assert (out["kind"] == "image").all()
+        assert all(len(p) == 8 * 4 for p in out["payload"])
+        assert (out["width"] == 8).all() and (out["height"] == 4).all()
+        # deterministic under repartition (pure function of the row)
+        out7 = multimodal.resize_images(media.repartition(7), 8, 4).toPandas()
+        a = out.sort_values("media_id").reset_index(drop=True)
+        b = out7.sort_values("media_id").reset_index(drop=True)
+        assert list(a["payload"]) == list(b["payload"])
+        # composes: features over resized payloads
+        feats = multimodal.extract_features(
+            multimodal.resize_images(media, 8, 4)
+        ).toPandas()
+        assert len(feats) == n_images and (feats["n_bytes"] == 32).all()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="positive"):
+            multimodal.resize_images(media, 0, 4)
+
 
 class TestSkew:
     def test_salted_agg_matches_unsalted(self, spark):
