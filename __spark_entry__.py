@@ -1746,6 +1746,30 @@ def q_media_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_W, _BOILER_MIN_DF = 3, 4
+
+
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (text.py::remove_boilerplate —
+    the CCNet/RefinedWeb line-dedup pass over whitespace segments): every
+    3-word segment present in ≥4 distinct documents is dropped everywhere
+    and the documents are reassembled. Output carries md5(clean_text) so
+    the byte-exact reassembled text is what the hash gate checks; at
+    sf0.01 the pass touches 200 of 500 documents (non-vacuous). Plan: one
+    df hash-agg + broadcast anti-join + one doc_id reassembly shuffle."""
+    from real_time_sliding_window_spark.operators import text as T
+
+    out = T.remove_boilerplate(
+        _docs(spark, sf_dir), width=_BOILER_W, min_df=_BOILER_MIN_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1767,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # take their driver row in r5.
     return {
         # -- r5 additions, never yet in the driver window --
+        "boilerplate_docs": q_boilerplate_docs,
         "priority_late_orders": q_priority_late_orders,
         "top_revenue_suppliers": q_top_revenue_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -2856,6 +2881,49 @@ def oracle_sql() -> dict[str, str]:
             FROM red
         """,
         # quantile_disc == GK sketch in its exact regime (group n <= accuracy)
+        # non-overlapping 3-word segments via generate_series + slice (1-based
+        # inclusive on DuckDB, start+length on Spark — same windows); df over
+        # DISTINCT docs; parallel unnests zip positionally so ord is 0-based
+        # on both engines; string_agg ORDER BY ord == sorted collect_list
+        "boilerplate_docs": f"""
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            segd AS (
+                SELECT doc_id,
+                    list_transform(
+                        generate_series(0, CAST(ceil(len(w) / {_BOILER_W}.0) AS BIGINT) - 1),
+                        s -> array_to_string(
+                            w[s * {_BOILER_W} + 1 : s * {_BOILER_W} + {_BOILER_W}], ' ')
+                    ) AS segs
+                FROM base
+            ),
+            ex AS (
+                SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs, u.seg, u.ord
+                FROM segd, LATERAL (
+                    SELECT unnest(segs) AS seg,
+                           unnest(generate_series(0, len(segs) - 1)) AS ord) u
+            ),
+            hot AS (
+                SELECT seg FROM (
+                    SELECT seg, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY 1)
+                WHERE dfc >= {_BOILER_MIN_DF}
+            ),
+            kept AS (SELECT * FROM ex WHERE seg NOT IN (SELECT seg FROM hot)),
+            clean AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY ord) AS clean_text
+                FROM kept GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   CAST(min(s.n_segs) AS BIGINT) AS n_segs,
+                   COALESCE(min(c.n_kept), 0) AS n_kept,
+                   md5(COALESCE(min(c.clean_text), '')) AS clean_md5
+            FROM (SELECT DISTINCT doc_id, n_segs FROM ex) s
+            LEFT JOIN clean c USING (doc_id)
+            GROUP BY 1
+        """,
         "length_gate_docs": """
             WITH thr AS (
                 SELECT source,

@@ -283,3 +283,87 @@ def redact_pii(
         .cast("long")
         .alias("n_longnums"),
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    min_df: int = 4,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop every ``width``-word segment
+    that appears in at least ``min_df`` distinct documents, and reassemble
+    what is left (the CCNet / RefinedWeb line-dedup pass, re-expressed over
+    whitespace segments because the corpus carries no newline structure).
+
+    Documents are cut into consecutive NON-overlapping ``width``-word
+    segments (the last one may be shorter). A segment's document frequency
+    is counted over DISTINCT documents, so a phrase repeated inside one
+    document is not boilerplate evidence; once a segment is classified
+    hot, ALL its occurrences are removed from every document.
+
+    Output: ``(id, n_segs, n_kept, clean_text)`` — one row per input
+    document, including documents whose every segment was removed
+    (``n_kept = 0``, ``clean_text = ''``): the id universe is never
+    filtered by a curation pass (round-4 review doctrine).
+
+    Scale shape: one hash-agg shuffle over segment occurrences (corpus
+    words / width rows) to count df, then an anti-join against the hot
+    set, then one reassembly shuffle on the document id — at 100 TB the
+    reassembly co-locates with a doc_id-bucketed layout and the df agg
+    is the only unavoidable exchange. The hot set is bounded by
+    occurrences/min_df; with ``broadcast_hot`` the anti-join is map-side
+    (the common case — boilerplate is the heavy tail of the df
+    distribution), set it False to fall back to a shuffled anti-join
+    when the hot set itself is too large to broadcast. Segmenting is a
+    higher-order transform over the PRE-SPLIT words array (never split
+    inside the lambda — functions/columns.shingles_from_words doctrine).
+    """
+    words = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+    )
+    # split() always returns >= 1 element, so sequence(0, n-1) is never
+    # descending (the sequence(1,0) == [1,0] trap) — ceil(size/width) >= 1
+    base = words.select(
+        "__id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(__w) / {width}.0) as int) - 1), "
+            f"s -> array_join(slice(__w, s * {width} + 1, {width}), ' '))"
+        ).alias("__segs"),
+    ).select("__id", F.size("__segs").cast("long").alias("n_segs"), "__segs")
+    exploded = base.select(
+        "__id", "n_segs", F.posexplode("__segs").alias("ord", "seg")
+    )
+    hot = (
+        exploded.select("__id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("seg")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = exploded.join(hot, "seg", "left_anti")
+    clean = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(ord, seg))), x -> x.seg)"),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("__id", "n_segs")
+        .join(clean, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1399,3 +1399,77 @@ class TestTokenDrift:
         ti = drift_from_index(sink.read_committed(spark), "a", "b", top_k=2)
         tb = token_drift(df, "source", "a", "b", top_k=2)
         assert key(ti.collect()) == key(tb.collect())
+
+
+class TestRemoveBoilerplate:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return (
+            text.remove_boilerplate(df, **kw)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+    def test_hot_segment_removed_everywhere(self, spark):
+        # "a b c" appears in 3 docs (df=3 >= min_df=3) -> removed from all,
+        # including its second occurrence inside doc 0; tails stay intact
+        out = self._run(
+            spark,
+            [
+                (0, "a b c x y z a b c"),
+                (1, "a b c p q r"),
+                (2, "m n o a b c"),  # "a b c" is doc 2's SECOND segment
+                (3, "u v w"),
+            ],
+            width=3,
+            min_df=3,
+        )
+        assert out.loc[0, "clean_text"] == "x y z"
+        assert (out.loc[0, "n_segs"], out.loc[0, "n_kept"]) == (3, 1)
+        assert out.loc[1, "clean_text"] == "p q r"
+        assert out.loc[2, "clean_text"] == "m n o"
+        assert out.loc[3, "clean_text"] == "u v w"
+        assert out.loc[3, "n_kept"] == 1
+
+    def test_within_doc_repetition_is_not_boilerplate(self, spark):
+        # df counts DISTINCT docs: 3 copies inside one doc stay (df=1)
+        out = self._run(
+            spark,
+            [(0, "a b c a b c a b c"), (1, "x y z")],
+            width=3,
+            min_df=2,
+        )
+        assert out.loc[0, "clean_text"] == "a b c a b c a b c"
+        assert out.loc[1, "clean_text"] == "x y z"
+
+    def test_fully_removed_doc_keeps_its_row(self, spark):
+        out = self._run(
+            spark,
+            [(0, "a b c"), (1, "a b c"), (2, "a b c"), (3, "k l m")],
+            width=3,
+            min_df=2,
+        )
+        for d in (0, 1, 2):
+            assert out.loc[d, "clean_text"] == ""
+            assert (out.loc[d, "n_segs"], out.loc[d, "n_kept"]) == (1, 0)
+        assert out.loc[3, "clean_text"] == "k l m"
+
+    def test_short_tail_segment_counts(self, spark):
+        # 7 words at width 3 -> segments "a b c", "d e f", "g" (tail of 1);
+        # hot tail "g" (df=2) removed, order of survivors preserved
+        out = self._run(
+            spark,
+            [(0, "a b c d e f g"), (1, "g")],
+            width=3,
+            min_df=2,
+        )
+        assert out.loc[0, "n_segs"] == 3
+        assert out.loc[0, "clean_text"] == "a b c d e f"
+        assert out.loc[1, "clean_text"] == ""
+
+    def test_shuffled_anti_join_path_matches(self, spark):
+        rows = [(i, f"a b c w{i} x{i} y{i}") for i in range(6)]
+        fast = self._run(spark, rows, width=3, min_df=4)
+        slow = self._run(spark, rows, width=3, min_df=4, broadcast_hot=False)
+        assert fast.equals(slow)
