@@ -1264,6 +1264,47 @@ def _ivf_sql(n_planes: int = 8, k: int = 3) -> str:
     """
 
 
+def _knn_graph_sql(n_planes: int = 8, k: int = 3) -> str:
+    """DuckDB twin of similarity.knn_graph + the query's mutual-edge flag:
+    _ivf_sql with EVERY vector as a query, then a self-join of the ranked
+    edge list on the reversed (src, dst) key."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, qv, {_sketch_sql_expr('qv', n_planes)} AS bucket FROM q),
+        probes AS (
+            SELECT vec_id AS src, qv AS q_qv,
+                   CASE WHEN p.p = 0 THEN bucket
+                        ELSE xor(bucket, (1 << (p.p - 1))) END AS probe_bucket
+            FROM b, LATERAL (SELECT unnest(generate_series(0, {n_planes})) AS p) p
+        ),
+        pairs AS (
+            SELECT src, b.vec_id AS dst,
+                   {_INT_COSINE.format(a='q_qv', b='b.qv')} AS cosine
+            FROM probes JOIN b ON b.bucket = probes.probe_bucket
+                         AND b.vec_id <> probes.src
+        ),
+        graph AS (
+            SELECT src, dst, cosine, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+                FROM pairs
+            )
+            WHERE rank <= {k}
+        )
+        SELECT g.src, g.dst, g.cosine, g.rank,
+               CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS mutual
+        FROM graph g
+        LEFT JOIN graph r ON r.src = g.dst AND r.dst = g.src
+    """
+
+
 _EXACT_ANN_SQL = """
     WITH q AS (
         SELECT vec_id,
@@ -1770,6 +1811,32 @@ def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph (similarity.py::knn_graph): every
+    vector's top-3 cosine neighbors among its sign-sketch LSH candidates
+    (8 planes, flip-1-bit multi-probe), plus a mutual-edge flag (reverse
+    edge also present — the mutual-kNN pruning used before graph
+    clustering). Both sides of the probe join stay distributed (no
+    corpus-sized broadcast); the edge list is localCheckpointed so the
+    mutual self-join reuses it instead of recomputing the LSH join
+    (multi-branch reuse doctrine). Exact quantized-int cosine — the
+    oracle replays planes, probes, ranking, and the mutual join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = S.knn_graph(
+        emb, k=3, n_planes=8, multiprobe=True
+    ).localCheckpoint(eager=True)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("__m")
+    )
+    return edges.join(rev, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "cosine",
+        "rank",
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("mutual"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1792,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r5 additions, never yet in the driver window --
         "boilerplate_docs": q_boilerplate_docs,
+        "knn_graph": q_knn_graph,
         "priority_late_orders": q_priority_late_orders,
         "top_revenue_suppliers": q_top_revenue_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -2881,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
             FROM red
         """,
         # quantile_disc == GK sketch in its exact regime (group n <= accuracy)
+        "knn_graph": _knn_graph_sql(n_planes=8, k=3),
         # non-overlapping 3-word segments via generate_series + slice (1-based
         # inclusive on DuckDB, start+length on Spark — same windows); df over
         # DISTINCT docs; parallel unnests zip positionally so ord is 0-based

@@ -359,3 +359,84 @@ def recall_at_k(
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k)).cast("double").alias("recall"),
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    max_bucket: int | None = None,
+    mutual: bool = False,
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus: every vector gets its
+    top-k cosine neighbors among its LSH-bucket candidates (sign-sketch
+    buckets + flip-1-bit multi-probe — the same candidate generator as
+    dedup.embedding_neardup_pairs, so its measured recall curves and the
+    max_bucket occupancy doctrine carry over unchanged).
+
+    This is ivf_topk with EVERY vector as a query — which is exactly why
+    it cannot reuse ivf_topk's plan: broadcasting an all-rows "query set"
+    is a broadcast of the corpus. Here both sides stay distributed and
+    the probe join is a plain shuffled equi-join on the bucket key; scoring
+    is exact quantized-int cosine, then one row_number window per source.
+    An EXACT graph is inherently all-pairs (O(n²)) and has no place at
+    100 TB; candidate volume here is linear: (n_planes+1)·n·occupancy,
+    bounded by ``max_bucket`` when buckets run hot (set it ∝ corpus
+    growth, or raise n_planes with log2(n) — BENCH/SCALE10X.md doctrine).
+
+    ``mutual=True`` keeps only edges whose reverse edge is also in the
+    graph (the mutual-kNN graph used for clustering/visualization
+    pruning) — one extra self-join on the (src, dst) edge key.
+
+    Output: (src, dst, cosine, rank), rank 1..k per src by (cosine desc,
+    dst) — deterministic; a vector in an empty probe neighborhood simply
+    emits fewer than k edges.
+    """
+    q = _quantized(emb, id_col, vec_col)
+    b = q.withColumn("bucket", C.sign_sketch("qv", n_planes))
+    right = b
+    if max_bucket is not None:
+        # cap the join-TARGET side only; every vector still probes OUT
+        # (embedding_neardup_pairs doctrine: never filter the id universe)
+        from real_time_sliding_window_spark.operators.dedup import cool_buckets
+
+        right = b.join(cool_buckets(b, ["bucket"], max_bucket), "bucket")
+    left = b
+    if multiprobe:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        left = b.select(
+            "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+        )
+    pairs = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            (
+                C.int_dot("a.qv", "b.qv").cast("double")
+                / (C.int_norm("a.qv") * C.int_norm("b.qv"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    edges = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if mutual:
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        edges = edges.join(rev, ["src", "dst"], "left_semi")
+    return edges

@@ -1473,3 +1473,53 @@ class TestRemoveBoilerplate:
         fast = self._run(spark, rows, width=3, min_df=4)
         slow = self._run(spark, rows, width=3, min_df=4, broadcast_hot=False)
         assert fast.equals(slow)
+
+
+class TestKnnGraph:
+    def _emb(self, spark):
+        # three tight clusters of 3 + one isolated vector whose sketch
+        # neighborhood is empty of candidates at most probe distances
+        rng = np.random.default_rng(11)
+        rows = []
+        vid = 0
+        for c in range(3):
+            center = rng.normal(0, 1, 8)
+            center /= np.linalg.norm(center)
+            for _ in range(3):
+                noise = rng.normal(0, 0.05, 8)
+                rows.append({"vec_id": vid, "embedding": (center + noise).tolist()})
+                vid += 1
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_cluster_members_are_neighbors(self, spark):
+        out = similarity.knn_graph(self._emb(spark), k=2).toPandas()
+        # every vector's top candidates come from its own tight cluster
+        for _, r in out.iterrows():
+            assert r["src"] // 3 == r["dst"] // 3
+            assert r["cosine"] > 0.9
+        # every vector finds at least one cluster-mate; ranks are a dense
+        # prefix 1..n (a mate >1 sketch bit away may be missed — LSH recall,
+        # not a bug)
+        ranks = out.groupby("src")["rank"].apply(list).map(sorted)
+        assert set(out["src"]) == set(range(9))
+        assert all(r == list(range(1, len(r) + 1)) for r in ranks)
+
+    def test_mutual_filter_is_symmetric(self, spark):
+        full = similarity.knn_graph(self._emb(spark), k=2).toPandas()
+        mut = similarity.knn_graph(self._emb(spark), k=2, mutual=True).toPandas()
+        edges = set(zip(full["src"], full["dst"]))
+        expect = {(s, d) for (s, d) in edges if (d, s) in edges}
+        assert set(zip(mut["src"], mut["dst"])) == expect
+        # mutual graph is symmetric as an edge set
+        got = set(zip(mut["src"], mut["dst"]))
+        assert {(d, s) for (s, d) in got} == got
+
+    def test_max_bucket_caps_targets_not_sources(self, spark):
+        emb = self._emb(spark)
+        capped = similarity.knn_graph(emb, k=2, max_bucket=1).toPandas()
+        # with every multi-member bucket capped, edges may vanish but no
+        # src appears that wasn't in the uncapped graph, and capping never
+        # errors (the id universe is only the probe side here)
+        full = similarity.knn_graph(emb, k=2).toPandas()
+        assert set(capped["src"]) <= set(full["src"])
+        assert len(capped) <= len(full)
