@@ -1837,6 +1837,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decontamination semantics as `decontaminate_docs`, planned
+    through the distributed Bloom prefilter (operators/bloom.py): the
+    train-shingle set's 2^16-bit Bloom image prunes held-out shingles
+    map-side (k=4 chained broadcast joins, zero probe-side exchange)
+    before the exact confirm semi-join. No false negatives ⇒ the result
+    — and therefore the oracle — is byte-identical to the exact plan;
+    what changes is the join's input volume, which is the thing that
+    matters when the blocklist is 10^9 shingles and the probe side is
+    the whole corpus."""
+    from real_time_sliding_window_spark.operators.sampling import (
+        decontaminate,
+        split_assignment,
+    )
+
+    docs = split_assignment(_docs(spark, sf_dir), "doc_id")
+    return decontaminate(
+        docs, shingle_k=3, max_df=128, bloom_bits=1 << 16, bloom_hashes=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1860,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 additions, never yet in the driver window --
         "boilerplate_docs": q_boilerplate_docs,
         "knn_graph": q_knn_graph,
+        "decontaminate_bloom_docs": q_decontaminate_bloom_docs,
         "priority_late_orders": q_priority_late_orders,
         "top_revenue_suppliers": q_top_revenue_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -1939,7 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "tumbling_events": """
             SELECT
                 time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
@@ -3130,3 +3152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # the Bloom prefilter has no false negatives, so the bloom-planned
+    # decontamination is byte-identical to the exact one — SAME oracle
+    out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
+    return out

@@ -317,6 +317,8 @@ def decontaminate(
     holdout_splits: tuple[str, ...] = ("val", "test"),
     shingle_k: int = 8,
     max_df: int | None = 128,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """Held-out docs sharing ≥1 word k-gram with any train doc.
 
@@ -327,6 +329,12 @@ def decontaminate(
     sub-max_df shingles (corpus-wide boilerplate is not contamination
     evidence — same df-cap reasoning, and the same linear bound, as
     ngram_jaccard_pairs; BENCH/DFCAP.md).
+
+    ``bloom_bits`` switches the plan (not the result): the train-shingle
+    set's Bloom image (operators/bloom.py) prunes held-out shingles
+    map-side before the exact confirm join — the move that matters when
+    the blocklist outgrows an exact broadcast. No false negatives, so
+    output is byte-identical either way (pinned in TestBloom).
     """
     words = ensure_parallelism(
         df.select(
@@ -351,6 +359,19 @@ def decontaminate(
         index = index.join(rare, "shingle")
     train_sh = index.filter(F.col("split") == "train").select("shingle").distinct()
     held = index.filter(F.col("split").isin(list(holdout_splits)))
+    if bloom_bits is not None:
+        # scale path (operators/bloom.py): when the train shingle set is too
+        # large to broadcast exactly, its Bloom image still is — prefilter
+        # the held-out side map-side, then run the SAME exact confirm join
+        # (no false negatives => byte-identical result, cheaper plan)
+        from real_time_sliding_window_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        train_sh = train_sh.localCheckpoint(eager=True)
+        bloom = bloom_build(train_sh, "shingle", bloom_bits, bloom_hashes)
+        held = bloom_prefilter(held, "shingle", bloom, bloom_bits, bloom_hashes)
     return (
         held.join(train_sh, "shingle")
         .groupBy(F.col("doc_id").alias(id_col), "split")

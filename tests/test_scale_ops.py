@@ -1523,3 +1523,50 @@ class TestKnnGraph:
         full = similarity.knn_graph(emb, k=2).toPandas()
         assert set(capped["src"]) <= set(full["src"])
         assert len(capped) <= len(full)
+
+
+class TestBloom:
+    BITS, K = 1 << 14, 4
+
+    def _sets(self, spark):
+        members = spark.range(500).select(
+            F.concat(F.lit("in"), "id").alias("key")
+        )
+        outsiders = spark.range(5000).select(
+            F.concat(F.lit("out"), "id").alias("key")
+        )
+        return members, outsiders
+
+    def test_no_false_negatives(self, spark):
+        from real_time_sliding_window_spark.operators import bloom as B
+
+        members, _ = self._sets(spark)
+        f = B.bloom_build(members, "key", self.BITS, self.K)
+        kept = B.bloom_prefilter(members, "key", f, self.BITS, self.K)
+        assert kept.count() == 500  # every true member must survive
+
+    def test_false_positive_rate_sane(self, spark):
+        from real_time_sliding_window_spark.operators import bloom as B
+
+        members, outsiders = self._sets(spark)
+        f = B.bloom_build(members, "key", self.BITS, self.K)
+        fps = B.bloom_prefilter(outsiders, "key", f, self.BITS, self.K).count()
+        # 500 keys * 4 hashes in 16384 bits -> theoretical fp ~ (1-e^-kn/m)^k
+        # ~ 1.6e-4; allow two orders of slack against hash clustering
+        assert fps < 5000 * 0.05
+
+    def test_decontaminate_bloom_equals_exact(self, spark):
+        from real_time_sliding_window_spark.operators.sampling import (
+            decontaminate,
+            split_assignment,
+        )
+
+        docs = split_assignment(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+        )
+        exact = decontaminate(docs, shingle_k=3, max_df=128)
+        bloomed = decontaminate(
+            docs, shingle_k=3, max_df=128, bloom_bits=1 << 15, bloom_hashes=4
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(exact) == key(bloomed)
