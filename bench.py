@@ -74,6 +74,9 @@ BATCH_QUERIES = [
     "temperature_mixture_docs",
     "leakage_safe_splits_docs",
     "embedding_gram",
+    "boilerplate_docs",
+    "knn_graph",
+    "decontaminate_bloom_docs",
 ]
 
 
