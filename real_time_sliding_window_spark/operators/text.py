@@ -285,6 +285,29 @@ def redact_pii(
     )
 
 
+def _segment_frame(
+    df: DataFrame, id_col: str, text_col: str, width: int
+) -> DataFrame:
+    """(__id, n_segs, __segs) — the shared segmenter of the batch removal
+    pass and the incremental df index (they MUST cut identically or the
+    index-derived hot set diverges from the batch one)."""
+    words = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+    )
+    # split() always returns >= 1 element, so sequence(0, n-1) is never
+    # descending (the sequence(1,0) == [1,0] trap) — ceil(size/width) >= 1
+    return words.select(
+        "__id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(__w) / {width}.0) as int) - 1), "
+            f"s -> array_join(slice(__w, s * {width} + 1, {width}), ' '))"
+        ).alias("__segs"),
+    ).select("__id", F.size("__segs").cast("long").alias("n_segs"), "__segs")
+
+
 def remove_boilerplate(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,6 +315,7 @@ def remove_boilerplate(
     width: int = 3,
     min_df: int = 4,
     broadcast_hot: bool = True,
+    hot_segments: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate removal: drop every ``width``-word segment
     that appears in at least ``min_df`` distinct documents, and reassemble
@@ -320,33 +344,27 @@ def remove_boilerplate(
     when the hot set itself is too large to broadcast. Segmenting is a
     higher-order transform over the PRE-SPLIT words array (never split
     inside the lambda — functions/columns.shingles_from_words doctrine).
+
+    ``hot_segments`` (a 1-column ``seg`` frame) substitutes an externally
+    maintained hot set — e.g. ``hot_segments_from_index`` over the
+    incremental df index — for the in-plan df computation; ``min_df`` is
+    then ignored.
     """
-    words = ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.split(F.col(text_col), " ").alias("__w"),
-        )
-    )
-    # split() always returns >= 1 element, so sequence(0, n-1) is never
-    # descending (the sequence(1,0) == [1,0] trap) — ceil(size/width) >= 1
-    base = words.select(
-        "__id",
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(__w) / {width}.0) as int) - 1), "
-            f"s -> array_join(slice(__w, s * {width} + 1, {width}), ' '))"
-        ).alias("__segs"),
-    ).select("__id", F.size("__segs").cast("long").alias("n_segs"), "__segs")
+    base = _segment_frame(df, id_col, text_col, width)
     exploded = base.select(
         "__id", "n_segs", F.posexplode("__segs").alias("ord", "seg")
     )
-    hot = (
-        exploded.select("__id", "seg")
-        .distinct()
-        .groupBy("seg")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("seg")
-    )
+    if hot_segments is not None:
+        hot = hot_segments.select("seg")
+    else:
+        hot = (
+            exploded.select("__id", "seg")
+            .distinct()
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= min_df)
+            .select("seg")
+        )
     if broadcast_hot:
         hot = F.broadcast(hot)
     kept = exploded.join(hot, "seg", "left_anti")
@@ -366,4 +384,62 @@ def remove_boilerplate(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def run_segment_df_index(
+    stream: DataFrame,
+    sink,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+):
+    """Incremental substrate for boilerplate removal: append one
+    ``(seg, df_inc)`` row per distinct (document, segment) group per
+    micro-batch through the exactly-once sink. Under the append-only-
+    unique-id contract (a document arrives in exactly ONE batch — the
+    postings/Gramian index contract) per-batch distinct df increments
+    are globally additive, so the summed index reproduces the batch df
+    of the accumulated corpus bit-for-bit and the hot set — and
+    therefore the removal pass — matches a full batch recompute exactly
+    (pinned in pytest). A redelivered batch is dropped by the sink's
+    marker; a document REVISED in a later batch breaks the contract the
+    same way it breaks the postings index (its old segments keep their
+    df votes)."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        segs = _segment_frame(batch, id_col, text_col, width).select(
+            "__id", F.explode("__segs").alias("seg")
+        )
+        sink.write_batch(
+            segs.distinct()
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("df_inc")),
+            batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName("segment-df-index")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def hot_segments_from_index(index: DataFrame, min_df: int = 4) -> DataFrame:
+    """The hot-segment set from the incremental df index (optionally
+    pre-filtered to a batch range via ``read_committed(with_batch_id=
+    True)``): sum the per-batch increments, threshold. Feed the result to
+    ``remove_boilerplate(hot_segments=...)`` to clean ANY slice of the
+    corpus against the accumulated evidence without re-counting it."""
+    return (
+        index.groupBy("seg")
+        .agg(F.sum("df_inc").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("seg")
     )

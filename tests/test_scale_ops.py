@@ -1570,3 +1570,46 @@ class TestBloom:
         )
         key = lambda df: sorted(map(tuple, df.collect()))
         assert key(exact) == key(bloomed)
+
+
+class TestSegmentDfIndex:
+    def test_incremental_hotset_equals_batch_removal(self, spark, tmp_path):
+        """Per-batch distinct df increments are additive under append-only
+        unique ids, so the index-derived hot set — and the removal pass fed
+        with it — equals a full batch recompute exactly. Replay adds
+        nothing (exactly-once marker)."""
+        from real_time_sliding_window_spark.operators.text import (
+            hot_segments_from_index,
+            remove_boilerplate,
+            run_segment_df_index,
+        )
+        from real_time_sliding_window_spark.sources.streams import FileFeed
+        from real_time_sliding_window_spark.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+
+        schema = "doc_id long, text string"
+        rows = [
+            (0, "a b c x y z a b c"),
+            (1, "a b c p q r"),
+            (2, "m n o a b c"),
+            (3, "u v w"),
+            (4, "a b c u v w"),
+        ]
+        feed = FileFeed(spark, str(tmp_path / "sdi_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sdi_idx"))
+        ckpt = str(tmp_path / "sdi_ckpt")
+        for lo, hi in ((0, 2), (2, 5)):
+            feed.push(spark.createDataFrame(rows[lo:hi], schema))
+            run_segment_df_index(feed.stream(schema), sink, ckpt, width=3)
+        run_segment_df_index(feed.stream(schema), sink, ckpt, width=3)  # replay
+
+        docs = spark.createDataFrame(rows, schema)
+        hot = hot_segments_from_index(sink.read_committed(spark), min_df=3)
+        # "a b c" spans batches (docs 0,1 then 2,4): only the summed index
+        # sees df=4; "u v w" reaches df=2 < 3 and must stay cold
+        assert {r["seg"] for r in hot.collect()} == {"a b c"}
+        key = lambda df: sorted(map(tuple, df.collect()))
+        incremental = remove_boilerplate(docs, width=3, hot_segments=hot)
+        batch = remove_boilerplate(docs, width=3, min_df=3)
+        assert key(incremental) == key(batch)
