@@ -1858,6 +1858,64 @@ def q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRADE_NATIONS = ("NATION_0", "NATION_1", "NATION_2")
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape 6-way join: yearly shipped revenue between nation
+    pairs (supplier nation ≠ customer nation, both in a 3-nation set).
+    The deepest join tree in the suite — lineitem⋈orders shuffles once on
+    orderkey, the result once on custkey; supplier and BOTH nation roles
+    broadcast (they stay dim-sized at any corpus scale, so the plan shape
+    survives 100×; customer would stop broadcasting at scale and fall
+    back to a custkey shuffle that is already the plan's second exchange).
+    The nation filters reach the dim scans BEFORE the joins (pushdown),
+    so the big sides only carry rows that can still match. Revenue is
+    exact integer cents (the Q3 pattern)."""
+    ns = list(_TRADE_NATIONS)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("volume_cents"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(ns)
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.sum("volume_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1882,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "knn_graph": q_knn_graph,
         "decontaminate_bloom_docs": q_decontaminate_bloom_docs,
+        "nation_trade_volume": q_nation_trade_volume,
         "priority_late_orders": q_priority_late_orders,
         "top_revenue_suppliers": q_top_revenue_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -2972,6 +3031,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quantile_disc == GK sketch in its exact regime (group n <= accuracy)
         "knn_graph": _knn_graph_sql(n_planes=8, k=3),
+        "nation_trade_volume": f"""
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+                   CAST(sum(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN {_TRADE_NATIONS!r}
+              AND n2.n_name IN {_TRADE_NATIONS!r}
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
         # non-overlapping 3-word segments via generate_series + slice (1-based
         # inclusive on DuckDB, start+length on Spark — same windows); df over
         # DISTINCT docs; parallel unnests zip positionally so ord is 0-based

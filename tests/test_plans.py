@@ -335,3 +335,20 @@ def test_bloom_prefilter_zero_probe_side_shuffle(spark):
     # the only exchanges allowed are the broadcast of the word table (and
     # its AQE reuse); the probe side itself must never hash-partition
     assert "hashpartitioning(key" not in plan
+
+
+def test_q7_trade_volume_dims_broadcast_filters_pushed(spark):
+    """The 6-way Q7-shape join: nation/supplier dims broadcast, nation-name
+    filters reach the dim scans, map-side combine before the final agg, and
+    the big sides shuffle at most on orderkey/custkey/group keys."""
+    import re
+
+    sc = scorecard(E.q_nation_trade_volume(spark, SF))
+    assert sc["pushed_filters"] and sc["broadcast_join"] and sc["partial_agg"]
+    plan = (
+        E.q_nation_trade_volume(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
