@@ -1916,6 +1916,18 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py) over the documents table:
+    one scan, exact distinct counts (the Expand lowering), long-format
+    output. Columns are int/string only so the stringified min/max are
+    engine-identical."""
+    from real_time_sliding_window_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["doc_id", "source", "lang", "n_chars"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1941,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "decontaminate_bloom_docs": q_decontaminate_bloom_docs,
         "nation_trade_volume": q_nation_trade_volume,
+        "profile_docs": q_profile_docs,
         "priority_late_orders": q_priority_late_orders,
         "top_revenue_suppliers": q_top_revenue_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
@@ -3031,6 +3044,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quantile_disc == GK sketch in its exact regime (group n <= accuracy)
         "knn_graph": _knn_graph_sql(n_planes=8, k=3),
+        "profile_docs": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM documents
+            """
+            for c in ("doc_id", "source", "lang", "n_chars")
+        ),
         "nation_trade_volume": f"""
             SELECT n1.n_name AS supp_nation,
                    n2.n_name AS cust_nation,

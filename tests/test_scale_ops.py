@@ -1613,3 +1613,56 @@ class TestSegmentDfIndex:
         incremental = remove_boilerplate(docs, width=3, hot_segments=hot)
         batch = remove_boilerplate(docs, width=3, min_df=3)
         assert key(incremental) == key(batch)
+
+
+class TestProfile:
+    def test_exact_profile_with_nulls(self, spark):
+        from real_time_sliding_window_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (None, "b")],
+            "k long, v string",
+        )
+        out = {
+            r["column"]: r
+            for r in profile_columns(df, ["k", "v"]).collect()
+        }
+        k, v = out["k"], out["v"]
+        assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 1, 2)
+        assert (k["min_value"], k["max_value"]) == ("1", "2")
+        assert (v["n_rows"], v["n_null"], v["n_distinct"]) == (4, 1, 2)
+        assert (v["min_value"], v["max_value"]) == ("a", "b")
+
+    def test_approx_path_no_expand_and_close(self, spark):
+        from real_time_sliding_window_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.range(10_000).selectExpr(
+            "id AS k", "cast(id % 97 AS string) AS v"
+        )
+        approx = profile_columns(df, ["k", "v"], exact_distinct=False)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan  # sketches partial-merge, no replication
+        exact_plan = (
+            profile_columns(df, ["k", "v"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" in exact_plan  # the exact lowering replicates rows
+        got = {r["column"]: r["n_distinct"] for r in approx.collect()}
+        assert abs(got["k"] - 10_000) / 10_000 < 0.05
+        assert abs(got["v"] - 97) / 97 < 0.05
+
+    def test_empty_cols_raise(self, spark):
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.operators.profile import (
+            profile_columns,
+        )
+
+        with _pytest.raises(ValueError, match="at least one column"):
+            profile_columns(spark.range(1), [])
