@@ -50,6 +50,16 @@ def _cents():  # exact integer cents; module-level Column needs a live session
     return F.round(F.col("value") * 100).cast("long")
 
 
+def _us():
+    """Exact int64 epoch microseconds for the TIMESTAMP_NTZ ``ts`` column,
+    timezone-free (``unix_micros`` rejects NTZ; a cast through LTZ would
+    shift by the session zone and bend gaps across DST transitions).
+    DuckDB twin: ``epoch_us(ts)``."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Queries (Spark side)
 # ---------------------------------------------------------------------------
@@ -1928,6 +1938,260 @@ def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript turn-latency profile: per event_type (the role of the
+    LATER turn), the distribution of inter-turn gaps within each user's
+    stream — count, exact total, and interpolated p50/p95 in integer
+    microseconds. The reference's per-conversation (ts, turn_idx) stable
+    order (TimedWindow.kt ordering tests) is the LAG frame here. Plan: ONE
+    Sort+Exchange on user_id feeds the lag window, then a tiny hash agg
+    over event_type; `_us()` == DuckDB `epoch_us` (both exact int64
+    microseconds — a `cast(ts as long)` would truncate to seconds and
+    diverge)."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        _us().alias("us"),
+        "event_id",
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
+    )
+
+
+def q_funnel_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence funnel (CEP shape): per user, first click and the first
+    error STRICTLY after it. The naive plan is agg + re-join + agg (three
+    shuffles); this lowering uses a running-min window — an error row
+    qualifies iff the running min click-ts before it is smaller — so ONE
+    Sort+Exchange on user_id serves both the window and the final agg.
+    Equivalence to the first-click rule: rows are (us, event_id)-ordered,
+    so any click with smaller us precedes the error row, making
+    `run_click < us` ⟺ `first_click_us < us`. Exact int64 micros."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        _us().alias("us"),
+        "event_id",
+    )
+    w = (
+        SqlWindow.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(SqlWindow.unboundedPreceding, SqlWindow.currentRow)
+    )
+    run_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(w)
+    flagged = ev.withColumn("run_click", run_click)
+    out = (
+        flagged.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).alias("first_click_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & F.col("run_click").isNotNull()
+                    & (F.col("us") > F.col("run_click")),
+                    F.col("us"),
+                )
+            ).alias("first_error_us"),
+        )
+        .filter(F.col("first_click_us").isNotNull())
+    )
+    return out.select(
+        "user_id",
+        "first_click_us",
+        "first_error_us",
+        (F.col("first_error_us") - F.col("first_click_us")).alias(
+            "click_to_error_us"
+        ),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream transition matrix (Markov counts): (event_type →
+    next event_type) pairs under each user's stable (ts, event_id) order —
+    the turn-taking structure of a transcript (user→assistant→tool…).
+    Plan: one lead() window sharing its Sort+Exchange with nothing else,
+    then a 25-row hash agg — map-side partial aggregation does almost all
+    the work."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        _us().alias("us"),
+        "event_id",
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("us", "event_id")
+    out = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    return out.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style double aggregation: distribution of per-customer
+    order counts INCLUDING zero-order customers (the left outer join is
+    the point — an inner join silently drops the c_count=0 bucket, the
+    largest one). Non-urgent orders only, mirroring Q13's comment filter
+    with the columns this schema has. Plan: left outer sort-merge on
+    custkey (both sides scale), count per customer rides the join's
+    partitioning, then a tiny second agg on c_count."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING-threshold semi-join: orders whose total
+    lineitem quantity exceeds 300, with their customer. Plan: the heavy
+    agg (sum qty per orderkey) runs FIRST and the >300 filter collapses it
+    to a handful of rows, which then BROADCAST to the orders and customer
+    joins — the join order that never shuffles the big tables twice.
+    Quantity is integral in this data so the sum is carried as long."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "totalprice_cents"
+            ),
+            "sum_qty",
+        )
+    )
+
+
+def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate join: revenue from three
+    OR'd (brand, size, quantity-band) clauses. The part dim broadcasts;
+    the disjunction lives in the JOIN condition so Catalyst pushes the
+    common `p_size >= 1` conjunct and the per-clause quantity bands reach
+    the lineitem scan as a derived OR filter (DPP-style row pruning
+    before the join). Revenue is exact integer cents. Adapted to this
+    schema (no p_container): clauses discriminate on p_brand/p_type."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    cond = (
+        (part["p_brand"] == "Brand#4")
+        & (part["p_size"].between(1, 15))
+        & (li["l_quantity"].between(1, 15))
+    ) | (
+        (part["p_brand"] == "Brand#19")
+        & (part["p_size"].between(1, 25))
+        & (li["l_quantity"].between(10, 30))
+    ) | (
+        (part["p_type"] == "PROMO")
+        & (part["p_size"].between(1, 20))
+        & (li["l_quantity"].between(25, 50))
+    )
+    joined = li.join(
+        F.broadcast(part), (li["l_partkey"] == part["p_partkey"]) & cond
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_cents").alias("revenue_cents"),
+    )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style top-k by aggregate: the 20 customers with the most
+    revenue from RETURNED items in 1995-Q2, with their nation. Plan:
+    date+flag filters pushed to the lineitem scan, one sort-merge join to
+    the date-pruned orders, agg on custkey, then the 20-row top-k
+    BROADCASTS into the customer scan (never the reverse — the customer
+    dim scales with the corpus, the top-k never does). Deterministic
+    top-k: (revenue desc, custkey asc) total order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cust.join(
+            F.broadcast(per_cust), per_cust["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1950,6 +2214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 (VERDICT.md) and take their driver row in r5.
     return {
         # -- r5 additions, never yet in the driver window --
+        "turn_latency_events": q_turn_latency_events,
+        "funnel_click_error": q_funnel_click_error,
+        "event_transitions": q_event_transitions,
+        "order_count_distribution": q_order_count_distribution,
+        "big_order_customers": q_big_order_customers,
+        "brand_promo_revenue": q_brand_promo_revenue,
+        "returned_top_customers": q_returned_top_customers,
         "boilerplate_docs": q_boilerplate_docs,
         "knn_graph": q_knn_graph,
         "decontaminate_bloom_docs": q_decontaminate_bloom_docs,
@@ -2035,6 +2306,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "turn_latency_events": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   quantile_cont(gap_us, 0.5) AS p50_gap_us,
+                   quantile_cont(gap_us, 0.95) AS p95_gap_us
+            FROM g
+            WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        """,
+        "funnel_click_error": """
+            WITH fc AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+                           AS first_click_us
+                FROM events
+                GROUP BY user_id
+            ),
+            fe AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS first_error_us
+                FROM events e JOIN fc USING (user_id)
+                WHERE e.event_type = 'error'
+                  AND epoch_us(e.ts) > fc.first_click_us
+                GROUP BY e.user_id
+            )
+            SELECT fc.user_id, fc.first_click_us, fe.first_error_us,
+                   fe.first_error_us - fc.first_click_us AS click_to_error_us
+            FROM fc LEFT JOIN fe USING (user_id)
+            WHERE fc.first_click_us IS NOT NULL
+        """,
+        "event_transitions": """
+            WITH nxt AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS next_type
+                FROM events
+            )
+            SELECT event_type, next_type, count(*) AS n_transitions
+            FROM nxt
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN (
+                    SELECT o_custkey, o_orderkey FROM orders
+                    WHERE o_orderpriority <> '1-URGENT'
+                ) o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+        """,
+        "big_order_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS totalprice_cents,
+                   big.sum_qty
+            FROM orders o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "brand_promo_revenue": """
+            SELECT count(*) AS n_items,
+                   CAST(sum(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 15)
+               OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 25 AND 50)
+        """,
+        "returned_top_customers": """
+            WITH per_cust AS (
+                SELECT o.o_custkey,
+                       CAST(sum(CAST(round(
+                           l.l_extendedprice * (1 - l.l_discount) * 100
+                       ) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1995-04-01'
+                  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+                GROUP BY o.o_custkey
+                ORDER BY revenue_cents DESC, o.o_custkey ASC
+                LIMIT 20
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name, p.revenue_cents
+            FROM per_cust p
+            JOIN customer c ON p.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
         "tumbling_events": """
             SELECT
                 time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

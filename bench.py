@@ -77,6 +77,13 @@ BATCH_QUERIES = [
     "boilerplate_docs",
     "knn_graph",
     "decontaminate_bloom_docs",
+    "turn_latency_events",
+    "funnel_click_error",
+    "event_transitions",
+    "order_count_distribution",
+    "big_order_customers",
+    "brand_promo_revenue",
+    "returned_top_customers",
 ]
 
 
