@@ -2192,6 +2192,100 @@ def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_PROBES = [
+    "join", "scan", "hash", "window", "filter", "merge",
+    "order", "batch", "column", "value", "zzzqx", "notaword",
+]
+_CM_DEPTH, _CM_WIDTH = 4, 512
+
+
+def q_cm_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates vs exact truth over document
+    tokens (operators/cm_sketch.py): build the depth×width matrix in one
+    pass (shuffle bounded at depth×width rows by map-side partials),
+    probe a fixed word list (two absent on purpose — their estimates
+    demonstrate the min-over-rows floor), and join the exact counts for
+    the same probes so every row exhibits ``est >= true``. Truth is
+    computed only for the probes (broadcast semi-join, never a full
+    vocabulary agg against the sketch). The matrix is md5-derived, so
+    the oracle rebuilds it bit-for-bit."""
+    from real_time_sliding_window_spark.functions.columns import tokens
+    from real_time_sliding_window_spark.operators.cm_sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("tok"))
+    sk = cm_sketch(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    probes = spark.createDataFrame(
+        [(w,) for w in _CM_PROBES], "tok string"
+    )
+    est = cm_estimate(sk, probes, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    truth = (
+        toks.join(F.broadcast(probes), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(F.broadcast(truth), "tok", "left")
+        .select(
+            "tok",
+            "est_count",
+            F.coalesce("true_count", F.lit(0).cast("long")).alias(
+                "true_count"
+            ),
+        )
+    )
+
+
+def _cm_oracle_sql() -> str:
+    """DuckDB replay of q_cm_freq_docs: identical md5 buckets (15 hex
+    chars — positive int64 on both engines), identical min-over-rows
+    estimate, exact truth for the probe set."""
+    probes = ", ".join(f"('{w}')" for w in _CM_PROBES)
+    bucket = (
+        "('0x' || substr(md5('cm' || CAST({r} AS VARCHAR) || ':' || {k}),"
+        f" 1, 15))::BIGINT % {_CM_WIDTH}"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS tok
+            FROM documents
+        ),
+        rows_r AS (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS r),
+        cells AS (
+            SELECT r, {bucket.format(r='r', k='tok')} AS c,
+                   count(*) AS cnt
+            FROM toks CROSS JOIN rows_r
+            GROUP BY 1, 2
+        ),
+        probes(tok) AS (VALUES {probes}),
+        coords AS (
+            SELECT p.tok, rows_r.r,
+                   {bucket.format(r='rows_r.r', k='p.tok')} AS c
+            FROM probes p CROSS JOIN rows_r
+        ),
+        est AS (
+            SELECT coords.tok,
+                   min(coalesce(cells.cnt, 0)) AS est_count
+            FROM coords
+            LEFT JOIN cells ON cells.r = coords.r AND cells.c = coords.c
+            GROUP BY 1
+        ),
+        truth AS (
+            SELECT tok, count(*) AS true_count
+            FROM toks
+            WHERE tok IN (SELECT tok FROM probes)
+            GROUP BY tok
+        )
+        SELECT est.tok,
+               CAST(est.est_count AS BIGINT) AS est_count,
+               CAST(coalesce(truth.true_count, 0) AS BIGINT) AS true_count
+        FROM est LEFT JOIN truth USING (tok)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2214,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 (VERDICT.md) and take their driver row in r5.
     return {
         # -- r5 additions, never yet in the driver window --
+        "cm_freq_docs": q_cm_freq_docs,
         "turn_latency_events": q_turn_latency_events,
         "funnel_click_error": q_funnel_click_error,
         "event_transitions": q_event_transitions,
@@ -2306,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "cm_freq_docs": _cm_oracle_sql(),
         "turn_latency_events": """
             WITH g AS (
                 SELECT event_type,

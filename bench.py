@@ -84,6 +84,7 @@ BATCH_QUERIES = [
     "big_order_customers",
     "brand_promo_revenue",
     "returned_top_customers",
+    "cm_freq_docs",
 ]
 
 

@@ -114,3 +114,66 @@ def distinct_estimates(
             "approx_distinct"
         )
     )
+
+
+def run_cm_index(
+    stream: DataFrame,
+    sink,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+):
+    """Incremental FREQUENCY index — per-batch count-min sketches
+    (operators/cm_sketch.py) through the exactly-once sink. Each
+    micro-batch appends its batch-local sketch rows (≤ depth×width of
+    them); because integer matrices ADD, ``cm_totals`` over the
+    accumulated index is BIT-identical to a batch sketch of the whole
+    corpus — the lossless Gramian-index property, not the HLL estimator
+    caveat. Redelivered batches dedup via the sink's commit marker.
+
+    Unlike the postings index there is NO append-only-unique-id
+    contract: a key may arrive in any number of batches — counts are
+    meant to accumulate."""
+    from ..operators.cm_sketch import cm_sketch
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        sink.write_batch(
+            cm_sketch(
+                batch, key_col, depth=depth, width=width,
+                weight_col=weight_col,
+            ),
+            batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName("cm-frequency-index")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def cm_totals(index: DataFrame, since_batch: int | None = None) -> DataFrame:
+    """Query side of the frequency index: pointwise-sum the per-batch
+    sketch rows into the current matrix (ready for
+    ``cm_sketch.cm_estimate``). One sketch-sized hash agg.
+
+    LOG-GROWTH / RETENTION: the index grows ≤ depth×width rows per
+    batch. ``since_batch`` gives sliding retention (estimates cover kept
+    batches only — exact subtraction of expired batches is valid for CM,
+    unlike HLL, precisely because the matrix is additive); for permanent
+    retention compact by rewriting the prefix as one summed sketch under
+    the oldest kept batch_id — BIT-lossless here, no estimator shift."""
+    if since_batch is not None:
+        if "batch_id" not in index.columns:
+            raise ValueError(
+                "since_batch needs an index read with with_batch_id=True"
+            )
+        index = index.filter(F.col("batch_id") >= since_batch)
+    return index.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))

@@ -1666,3 +1666,134 @@ class TestProfile:
 
         with _pytest.raises(ValueError, match="at least one column"):
             profile_columns(spark.range(1), [])
+
+
+class TestCountMin:
+    """operators/cm_sketch.py — over-estimate bound, exact additivity,
+    weighted counts, zero-for-absent, and the CM error bound."""
+
+    DEPTH, WIDTH = 4, 256
+
+    @pytest.fixture(scope="class")
+    def zipf_keys(self, spark):
+        # zipf-ish: key k appears ~ 1000/(k+1) times -> heavy head,
+        # long tail; 200 distinct keys, N ~ 5878
+        rows = []
+        for k in range(200):
+            rows.extend([f"key{k}"] * (1000 // (k + 1)))
+        return spark.createDataFrame(
+            pd.DataFrame({"item": rows})
+        ).cache()
+
+    def _true_counts(self, df):
+        return {
+            r.item: r.cnt
+            for r in df.groupBy("item").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+
+    def test_overestimate_and_error_bound(self, spark, zipf_keys):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        sk = cm_sketch(
+            zipf_keys, "item", depth=self.DEPTH, width=self.WIDTH
+        ).cache()
+        probes = zipf_keys.select("item").distinct()
+        est = {
+            r.item: r.est_count
+            for r in cm_estimate(
+                sk, probes, "item", depth=self.DEPTH, width=self.WIDTH
+            ).collect()
+        }
+        true = self._true_counts(zipf_keys)
+        n_total = sum(true.values())
+        # est >= true always; est <= true + e*N/width for the overwhelming
+        # majority (the bound is probabilistic per key at 1 - e^-depth;
+        # with depth=4 a single miss in 200 keys is already unlikely)
+        bound = (2.718281828 * n_total) / self.WIDTH
+        misses = 0
+        for k, t in true.items():
+            assert est[k] >= t, f"{k}: est {est[k]} < true {t}"
+            if est[k] > t + bound:
+                misses += 1
+        assert misses <= 2, f"{misses}/200 keys above the e*N/width bound"
+
+    def test_absent_key_estimates_zero_or_collision(self, spark, zipf_keys):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        sk = cm_sketch(zipf_keys, "item", depth=self.DEPTH, width=self.WIDTH)
+        probes = spark.createDataFrame(
+            pd.DataFrame({"item": [f"never{k}" for k in range(50)]})
+        )
+        est = cm_estimate(
+            sk, probes, "item", depth=self.DEPTH, width=self.WIDTH
+        )
+        vals = [r.est_count for r in est.collect()]
+        assert len(vals) == 50
+        # absent keys may collide into occupied buckets but min over
+        # depth rows keeps most at/near zero; all are >= 0
+        assert all(v >= 0 for v in vals)
+        assert sorted(vals)[len(vals) // 2] <= 60  # median small vs N~5878
+
+    def test_merge_exactly_additive(self, spark, zipf_keys):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_merge,
+            cm_sketch,
+        )
+
+        with_id = zipf_keys.withColumn(
+            "rid", F.monotonically_increasing_id()
+        ).cache()
+        a = with_id.filter(F.col("rid") % 2 == 0).select("item")
+        b = with_id.filter(F.col("rid") % 2 == 1).select("item")
+        merged = cm_merge(
+            cm_sketch(a, "item", depth=self.DEPTH, width=self.WIDTH),
+            cm_sketch(b, "item", depth=self.DEPTH, width=self.WIDTH),
+        )
+        whole = cm_sketch(
+            zipf_keys, "item", depth=self.DEPTH, width=self.WIDTH
+        )
+        assert (
+            merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0
+        )
+
+    def test_weighted_sketch(self, spark):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"item": ["a", "a", "b"], "w": [10, 5, 7]}
+            )
+        )
+        sk = cm_sketch(df, "item", depth=4, width=64, weight_col="w")
+        est = {
+            r.item: r.est_count
+            for r in cm_estimate(
+                sk, df.select("item").distinct(), "item", depth=4, width=64
+            ).collect()
+        }
+        assert est["a"] >= 15 and est["b"] >= 7
+        # width 64 >> 2 keys: no collision expected
+        assert est["a"] == 15 and est["b"] == 7
+
+    def test_validates_shape(self, spark, zipf_keys):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_merge,
+            cm_sketch,
+        )
+
+        with pytest.raises(ValueError):
+            cm_sketch(zipf_keys, "item", depth=0, width=16)
+        with pytest.raises(ValueError):
+            cm_merge()

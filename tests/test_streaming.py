@@ -2457,3 +2457,109 @@ class TestGramIndex:
         cf, ef, mf = linalg.pca_fit(mk(0, 90), k=3, dim=8)
         assert np.array_equal(ci, cf) and np.array_equal(ei, ef)
         assert np.array_equal(mi, mf)
+
+
+class TestCmIndex:
+    """streaming/sketches.py::run_cm_index — the frequency twin of the
+    distinct index: per-batch CM sketches are EXACTLY additive, so the
+    accumulated index is bit-identical to a batch sketch (the lossless
+    Gramian property, deliberately stronger than the HLL caveat)."""
+
+    def test_incremental_equals_batch_exactly(self, spark, tmp_path):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_estimate,
+            cm_sketch,
+        )
+        from real_time_sliding_window_spark.streaming.sketches import (
+            cm_totals,
+            run_cm_index,
+        )
+
+        schema = "item string"
+        pushes = [
+            pd.DataFrame({"item": ["a"] * 30 + ["b"] * 5 + ["c"] * 1}),
+            pd.DataFrame({"item": ["a"] * 20 + ["d"] * 8}),
+            pd.DataFrame({"item": ["b"] * 15 + ["a"] * 10}),
+        ]
+        feed = FileFeed(spark, str(tmp_path / "cm_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "cm_idx"))
+        ckpt = str(tmp_path / "cm_ckpt")
+        for push in pushes:
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_cm_index(
+                feed.stream(schema), sink, ckpt, "item", depth=4, width=64
+            )
+        # exactly-once: re-trigger with no new data leaves the index alone
+        n = sink.read_committed(spark).count()
+        run_cm_index(
+            feed.stream(schema), sink, ckpt, "item", depth=4, width=64
+        )
+        assert sink.read_committed(spark).count() == n
+
+        totals = cm_totals(sink.read_committed(spark))
+        whole = cm_sketch(
+            spark.createDataFrame(pd.concat(pushes), schema=schema),
+            "item",
+            depth=4,
+            width=64,
+        )
+        assert (
+            totals.exceptAll(whole).count() == 0
+            and whole.exceptAll(totals).count() == 0
+        )
+        est = {
+            r.item: r.est_count
+            for r in cm_estimate(
+                totals,
+                spark.createDataFrame(
+                    pd.DataFrame({"item": list("abcd")}), schema=schema
+                ),
+                "item",
+                depth=4,
+                width=64,
+            ).collect()
+        }
+        for k, t in {"a": 60, "b": 20, "c": 1, "d": 8}.items():
+            assert est[k] >= t
+
+    def test_since_batch_retention_exact_subtraction(self, spark, tmp_path):
+        """CM retention is EXACT: dropping expired batches from the sum
+        yields precisely the sketch of the kept batches (additive
+        matrices subtract; HLL cannot). Also pins the with_batch_id
+        requirement."""
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_sketch,
+        )
+        from real_time_sliding_window_spark.streaming.sketches import (
+            cm_totals,
+            run_cm_index,
+        )
+
+        schema = "item string"
+        pushes = [
+            pd.DataFrame({"item": ["x"] * 10}),
+            pd.DataFrame({"item": ["x"] * 3 + ["y"] * 4}),
+        ]
+        feed = FileFeed(spark, str(tmp_path / "cmr_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "cmr_idx"))
+        ckpt = str(tmp_path / "cmr_ckpt")
+        for push in pushes:
+            feed.push(spark.createDataFrame(push, schema=schema))
+            run_cm_index(
+                feed.stream(schema), sink, ckpt, "item", depth=4, width=64
+            )
+        kept = cm_totals(
+            sink.read_committed(spark, with_batch_id=True), since_batch=1
+        )
+        only_b2 = cm_sketch(
+            spark.createDataFrame(pushes[1], schema=schema),
+            "item",
+            depth=4,
+            width=64,
+        )
+        assert (
+            kept.exceptAll(only_b2).count() == 0
+            and only_b2.exceptAll(kept).count() == 0
+        )
+        with pytest.raises(ValueError, match="with_batch_id"):
+            cm_totals(sink.read_committed(spark), since_batch=1)
