@@ -1,0 +1,364 @@
+"""Streaming CEP (complex-event-processing) operators — watermark-final
+transition pairs and a conversion-window funnel (r5).
+
+The batch entry queries ``event_transitions`` and ``funnel_click_error``
+answer turn-taking questions AFTER the fact; these are their streaming
+twins — the pattern-detection surface Flink ships as CEP / temporal
+pattern matching, built on the suite's proven stateful discipline
+(``streaming/asof.py``): one shuffle on the key, per-key numpy state,
+watermark-FINAL append emission (no retractions), ALWAYS-re-armed
+event-time timers so idle keys still finalize.
+
+``transitions_stream`` — emits every consecutive (from_type → to_type)
+pair per key under the stable (ts, seq) order. A pair is emitted exactly
+once, when the watermark passes its LATER event (at that point no event
+can still arrive between the two — anything earlier is late and dropped
+at the source). Pairs bridge micro-batches: the last finalized event is
+kept as the bridge, so cross-batch pairs match the batch ``lead()``
+exactly (pinned by randomized parity tests). State per key: the bridge
+event + the unfinalized tail (watermark-horizon-bounded, the ring's
+bound). ``max_idle`` is an EVENT-TIME session rule: pairs spanning a gap
+larger than it are suppressed — by event time, never by arrival batching
+— which is also what makes bridge REAPING sound (a bridge older than
+``watermark − max_idle`` can never pair again: any future event sits at
+``ts ≥ watermark``, so its gap already exceeds the rule). Without
+``max_idle`` the semantics equal batch ``lead()`` (pairs across any gap)
+and bridges live as long as the key.
+
+``funnel_stream`` — per key, the first ``first_type`` event and the
+first ``then_type`` event STRICTLY after it within a CONVERSION WINDOW.
+The window is what makes streaming finality possible at all: with an
+unbounded funnel (the batch query's semantics) a conversion can arrive
+arbitrarily late and no append-mode row is ever final. A key's row
+emits exactly once, when the watermark passes ``first + window`` (every
+qualifying conversion is behind the watermark by then), and the key's
+state is REMOVED — the funnel is one-shot per key, so total state is
+(pending tail + 2 longs) per un-emitted key. Batch-equivalence: with
+``window`` ≥ the stream's span the emitted rows equal the batch funnel
+query exactly (the parity gate in tests).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_sliding_window_spark.config import interval_str
+
+TRANSITIONS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("from_type", StringType(), False),
+        StructField("to_type", StringType(), False),
+        StructField("from_us", LongType(), False),
+        StructField("to_us", LongType(), False),
+    ]
+)
+
+_TRANSITIONS_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType()), True),
+        StructField("seq", ArrayType(LongType()), True),
+        StructField("typ", ArrayType(StringType()), True),
+        StructField("bridge_us", LongType(), True),
+        StructField("bridge_typ", StringType(), True),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("first_us", LongType(), False),
+        StructField("then_us", LongType(), True),
+        StructField("latency_us", LongType(), True),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType()), True),
+        StructField("seq", ArrayType(LongType()), True),
+        StructField("typ", ArrayType(StringType()), True),
+        StructField("first_us", LongType(), True),
+        StructField("then_us", LongType(), True),
+    ]
+)
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_OBJ = np.empty(0, dtype=object)
+
+
+def _merge_batch(pdfs, us, seq, typ, timed_out):
+    """Append this invocation's rows (if any) to the pending arrays."""
+    if timed_out:
+        return us, seq, typ
+    chunks = list(pdfs)
+    if not chunks:
+        return us, seq, typ
+    batch = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+    b_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    b_seq = batch["seq"].to_numpy(dtype=np.int64)
+    b_typ = batch["typ"].to_numpy(dtype=object)
+    return (
+        np.concatenate([us, b_us]),
+        np.concatenate([seq, b_seq]),
+        np.concatenate([typ, b_typ]),
+    )
+
+
+def _transitions_fn(max_idle_us: int | None):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            s = state.get
+            us = np.asarray(s[0], dtype=np.int64)
+            seq = np.asarray(s[1], dtype=np.int64)
+            typ = np.asarray(s[2], dtype=object)
+            bridge_us = s[3] if s[3] is not None else None
+            bridge_typ = s[4]
+        else:
+            us, seq, typ = _EMPTY_I64, _EMPTY_I64, _EMPTY_OBJ
+            bridge_us = bridge_typ = None
+
+        us, seq, typ = _merge_batch(pdfs, us, seq, typ, state.hasTimedOut)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = np.lexsort((seq, us))
+        us, seq, typ = us[order], seq[order], typ[order]
+        final = us < wm_us
+
+        out = None
+        if final.any():
+            f_us, f_typ = us[final], typ[final]
+            # chain: bridge (if any) -> finalized events, consecutive pairs
+            if bridge_us is not None:
+                c_us = np.concatenate([[bridge_us], f_us])
+                c_typ = np.concatenate([[bridge_typ], f_typ])
+            else:
+                c_us, c_typ = f_us, f_typ
+            if len(c_us) >= 2:
+                out = pd.DataFrame(
+                    {
+                        "key": k,
+                        "from_type": c_typ[:-1],
+                        "to_type": c_typ[1:],
+                        "from_us": c_us[:-1],
+                        "to_us": c_us[1:],
+                    }
+                )
+                if max_idle_us is not None:
+                    # EVENT-TIME session rule: a pair spanning a gap
+                    # larger than max_idle is suppressed regardless of
+                    # which micro-batches carried the two events —
+                    # output must not depend on arrival batching
+                    out = out[out.to_us - out.from_us <= max_idle_us]
+                    if out.empty:
+                        out = None
+            bridge_us = int(f_us[-1])
+            bridge_typ = f_typ[-1]
+            us, seq, typ = us[~final], seq[~final], typ[~final]
+
+        idle_reaped = (
+            max_idle_us is not None
+            and len(us) == 0
+            and bridge_us is not None
+            and wm_us - bridge_us > max_idle_us
+        )
+        if idle_reaped or (len(us) == 0 and bridge_us is None):
+            state.remove()
+        else:
+            state.update(
+                (us.tolist(), seq.tolist(), typ.tolist(),
+                 bridge_us, bridge_typ)
+            )
+            # re-arm EVERY invocation (timer registrations don't persist):
+            # wake when the watermark passes the oldest pending event, or
+            # for bridge-only keys with an idle horizon, at reap time
+            if len(us):
+                wake_ms = int(us.min()) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(wake_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            elif max_idle_us is not None:
+                wake_ms = (bridge_us + max_idle_us) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(wake_ms, state.getCurrentWatermarkMs() + 1)
+                )
+
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def transitions_stream(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    watermark_delay: timedelta = timedelta(seconds=30),
+    max_idle: timedelta | None = None,
+) -> DataFrame:
+    """Streaming transition pairs (module docstring). Output one row per
+    consecutive (from → to) event pair per key, emitted exactly once
+    when the later event is behind the watermark. ``seq_col`` breaks
+    equal-timestamp ties (the reference's (ts, turn_idx) stable order);
+    aggregate downstream for the transition matrix."""
+    wm = interval_str(watermark_delay)
+    max_idle_us = (
+        int(max_idle.total_seconds() * 1_000_000)
+        if max_idle is not None
+        else None
+    )
+    packed = stream.withWatermark(ts_col, wm).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(type_col).cast("string").alias("typ"),
+    ).filter(F.col("key").isNotNull())
+    return packed.groupBy("key").applyInPandasWithState(
+        _transitions_fn(max_idle_us),
+        outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+        stateStructType=_TRANSITIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _funnel_fn(first_type: str, then_type: str, window_us: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            s = state.get
+            us = np.asarray(s[0], dtype=np.int64)
+            seq = np.asarray(s[1], dtype=np.int64)
+            typ = np.asarray(s[2], dtype=object)
+            first_us = s[3] if s[3] is not None else None
+            then_us = s[4]
+        else:
+            us, seq, typ = _EMPTY_I64, _EMPTY_I64, _EMPTY_OBJ
+            first_us = then_us = None
+
+        us, seq, typ = _merge_batch(pdfs, us, seq, typ, state.hasTimedOut)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = np.lexsort((seq, us))
+        us, seq, typ = us[order], seq[order], typ[order]
+        final = us < wm_us
+        if final.any():
+            # fold finalized events in order into the (first, then) pair
+            for u, t in zip(us[final], typ[final]):
+                u = int(u)
+                if t == first_type and (first_us is None or u < first_us):
+                    first_us = u
+                    # a NEW earlier first invalidates a conversion that
+                    # is no longer inside (first, first+window]... it
+                    # cannot: events fold in ts order, so first_us only
+                    # decreases before any conversion at higher ts is
+                    # seen; window re-check below keeps it honest anyway
+                    if then_us is not None and (
+                        then_us <= first_us
+                        or then_us > first_us + window_us
+                    ):
+                        then_us = None
+                elif (
+                    t == then_type
+                    and first_us is not None
+                    and then_us is None
+                    and first_us < u <= first_us + window_us
+                ):
+                    then_us = u
+            us, seq, typ = us[~final], seq[~final], typ[~final]
+
+        out = None
+        if first_us is not None and wm_us > first_us + window_us:
+            # window closed: no qualifying conversion can still arrive
+            # (it would be <= first+window < wm — late, dropped at source)
+            out = pd.DataFrame(
+                {
+                    "key": [k],
+                    "first_us": [first_us],
+                    "then_us": [then_us],
+                    "latency_us": [
+                        then_us - first_us if then_us is not None else None
+                    ],
+                }
+            )
+            state.remove()
+        elif len(us) == 0 and first_us is None:
+            state.remove()
+        else:
+            state.update(
+                (us.tolist(), seq.tolist(), typ.tolist(), first_us, then_us)
+            )
+            # wake at whichever finalization comes first: oldest pending
+            # event, or the funnel window closing
+            wakes = []
+            if len(us):
+                wakes.append(int(us.min()) // 1000 + 1)
+            if first_us is not None:
+                wakes.append((first_us + window_us) // 1000 + 1)
+            state.setTimeoutTimestamp(
+                max(min(wakes), state.getCurrentWatermarkMs() + 1)
+            )
+
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def funnel_stream(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+    window: timedelta,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    watermark_delay: timedelta = timedelta(seconds=30),
+) -> DataFrame:
+    """Streaming conversion funnel (module docstring). Emits ONE final
+    row per key that ever saw ``first_type``: (key, first_us, then_us,
+    latency_us) with nulls when no ``then_type`` landed strictly inside
+    ``(first, first + window]``. Keys without a ``first_type`` event
+    never emit (they exit state as their tail finalizes)."""
+    if window <= timedelta(0):
+        raise ValueError(f"window must be positive, got {window}")
+    wm = interval_str(watermark_delay)
+    window_us = int(window.total_seconds() * 1_000_000)
+    packed = stream.withWatermark(ts_col, wm).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(type_col).cast("string").alias("typ"),
+    ).filter(F.col("key").isNotNull())
+    return packed.groupBy("key").applyInPandasWithState(
+        _funnel_fn(first_type, then_type, window_us),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

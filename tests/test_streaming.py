@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from datetime import timedelta
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -2563,3 +2564,264 @@ class TestCmIndex:
         )
         with pytest.raises(ValueError, match="with_batch_id"):
             cm_totals(sink.read_committed(spark), since_batch=1)
+
+
+class TestCepStream:
+    """streaming/cep.py — transition pairs and the conversion funnel:
+    watermark-final append emission gated against the batch twins."""
+
+    def _push_contiguous(self, spark, feed, events: pd.DataFrame, n_batches):
+        """Split a random event set into contiguous time ranges (shuffled
+        WITHIN each batch — cross-batch order is what the watermark
+        guarantees; intra-batch disorder is the operator's job)."""
+        ev = events.sort_values("ts", kind="stable").reset_index(drop=True)
+        cuts = np.array_split(np.arange(len(ev)), n_batches)
+        rng = np.random.default_rng(7)
+        out = []
+        for idx in cuts:
+            b = ev.iloc[idx].sample(frac=1.0, random_state=int(rng.integers(1e9)))
+            out.append(b)
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        for b in out:
+            feed.push(spark.createDataFrame(b, schema=schema))
+        return schema
+
+    def _random_events(self, n=240, n_keys=6, seed=11):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "key": [f"k{rng.integers(n_keys)}" for _ in range(n)],
+                "event_id": range(n),
+                "event_type": rng.choice(
+                    ["click", "error", "view"], size=n
+                ),
+                # integer-second offsets WITH collisions (ties exercise
+                # the (ts, seq) stable order)
+                "ts": [T0 + int(s) * SEC for s in rng.integers(0, 120, n)],
+            }
+        )
+
+    def test_transitions_match_batch_lead_randomized(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.cep import (
+            transitions_stream,
+        )
+
+        events = self._random_events()
+        feed = FileFeed(spark, str(tmp_path / "tr_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "tr_out"))
+        ckpt = str(tmp_path / "tr_ckpt")
+        schema = self._push_contiguous(spark, feed, events, 3)
+
+        def run():
+            res = transitions_stream(
+                feed.stream(schema), "key", "event_type",
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-transitions")
+
+        run()
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [10**6], "event_type": ["view"],
+             "ts": [T0 + 10_000 * SEC]}
+        )
+        feed.push(spark.createDataFrame(closer, schema=schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"]
+        static = spark.createDataFrame(events, schema=schema)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy("ts", "event_id")
+        exp = (
+            static.select(
+                "key",
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias(
+                    "from_us"
+                ),
+                F.lead(
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                ).over(w).alias("to_us"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .toPandas()
+        )
+        key = ["key", "from_type", "to_type", "from_us", "to_us"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        e = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e)
+
+    def test_transitions_bridge_and_idle_reap(self, spark, tmp_path):
+        """Cross-batch pairs ride the bridge; with max_idle the bridge is
+        reaped, so a long-idle key starts a FRESH chain (no pair spanning
+        the gap) — the documented divergence from batch lead()."""
+        from real_time_sliding_window_spark.streaming.cep import (
+            transitions_stream,
+        )
+
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        b1 = pd.DataFrame(
+            {"key": ["a", "a"], "event_id": [0, 1],
+             "event_type": ["click", "view"],
+             "ts": [T0, T0 + 5 * SEC]}
+        )
+        b2 = pd.DataFrame(  # 500 s after b1 — far past max_idle=60s
+            {"key": ["a", "zz"], "event_id": [2, 99],
+             "event_type": ["error", "view"],
+             "ts": [T0 + 500 * SEC, T0 + 505 * SEC]}
+        )
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [100], "event_type": ["view"],
+             "ts": [T0 + 5000 * SEC]}
+        )
+
+        for max_idle, expect_gap_pair in (
+            (None, True),
+            (timedelta(seconds=60), False),
+        ):
+            tag = "noidle" if max_idle is None else "idle"
+            feed = FileFeed(spark, str(tmp_path / f"br_in_{tag}"))
+            sink = ExactlyOnceParquetSink(str(tmp_path / f"br_out_{tag}"))
+            ckpt = str(tmp_path / f"br_ckpt_{tag}")
+
+            def run():
+                res = transitions_stream(
+                    feed.stream(schema), "key", "event_type",
+                    seq_col="event_id",
+                    watermark_delay=timedelta(seconds=1),
+                    max_idle=max_idle,
+                )
+                run_to_sink(res, sink, ckpt, query_name=f"cep-br-{tag}")
+
+            for push in (b1, b2):
+                feed.push(spark.createDataFrame(push, schema=schema))
+                run()
+            feed.push(spark.createDataFrame(closer, schema=schema))
+            run()
+
+            got = sink.read_committed(spark).toPandas()
+            got = got[got.key == "a"]
+            pairs = set(
+                zip(got.from_type, got.to_type)
+            )
+            assert ("click", "view") in pairs  # within-batch pair always
+            assert (("view", "error") in pairs) == expect_gap_pair
+
+    def test_funnel_matches_batch_with_wide_window(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.cep import (
+            funnel_stream,
+        )
+
+        events = self._random_events(seed=23)
+        feed = FileFeed(spark, str(tmp_path / "fn_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "fn_out"))
+        ckpt = str(tmp_path / "fn_ckpt")
+        schema = self._push_contiguous(spark, feed, events, 3)
+
+        def run():
+            res = funnel_stream(
+                feed.stream(schema), "key", "event_type",
+                first_type="click", then_type="error",
+                window=timedelta(days=1),
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-funnel")
+
+        run()
+        # closer far enough to shut every key's 1-day window
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [10**6], "event_type": ["view"],
+             "ts": [T0 + timedelta(days=3)]}
+        )
+        feed.push(spark.createDataFrame(closer, schema=schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"].set_index("key")
+
+        # batch twin of the unbounded funnel (window >> span)
+        static = events
+        exp = {}
+        us = static.ts.map(
+            lambda t: int(pd.Timestamp(t).value // 1000)
+        )
+        static = static.assign(us=us)
+        for k, grp in static.groupby("key"):
+            clicks = grp[grp.event_type == "click"]
+            if clicks.empty:
+                continue
+            fc = int(clicks.us.min())
+            errs = grp[(grp.event_type == "error") & (grp.us > fc)]
+            exp[k] = (fc, int(errs.us.min()) if len(errs) else None)
+        assert set(got.index) == set(exp)
+        for k, (fc, fe) in exp.items():
+            assert got.loc[k, "first_us"] == fc
+            if fe is None:
+                assert pd.isna(got.loc[k, "then_us"])
+            else:
+                assert got.loc[k, "then_us"] == fe
+                assert got.loc[k, "latency_us"] == fe - fc
+
+    def test_funnel_window_and_once_semantics(self, spark, tmp_path):
+        """Conversion outside the window -> null; at exactly
+        first+window -> counts; at ts == first -> excluded (strict);
+        each key emits exactly once and leaves state."""
+        from real_time_sliding_window_spark.streaming.cep import (
+            funnel_stream,
+        )
+
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        rows = pd.DataFrame(
+            {
+                "key": ["in_w", "in_w", "edge", "edge", "late", "late",
+                        "same", "same"],
+                "event_id": range(8),
+                "event_type": ["click", "error"] * 4,
+                "ts": [
+                    T0, T0 + 5 * SEC,            # inside window
+                    T0, T0 + 30 * SEC,           # exactly first+window
+                    T0, T0 + 31 * SEC,           # one past the window
+                    T0, T0,                      # error AT the click ts
+                ],
+            }
+        )
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [99], "event_type": ["view"],
+             "ts": [T0 + 5000 * SEC]}
+        )
+        feed = FileFeed(spark, str(tmp_path / "fw_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "fw_out"))
+        ckpt = str(tmp_path / "fw_ckpt")
+
+        def run():
+            res = funnel_stream(
+                feed.stream(schema), "key", "event_type",
+                first_type="click", then_type="error",
+                window=timedelta(seconds=30),
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-fwin")
+
+        feed.push(spark.createDataFrame(rows, schema=schema))
+        run()
+        feed.push(spark.createDataFrame(closer, schema=schema))
+        run()
+        n_after_close = sink.read_committed(spark).count()
+        # extra drain with a fresh closer: no re-emission (state removed)
+        feed.push(spark.createDataFrame(
+            closer.assign(event_id=[100], ts=[T0 + 6000 * SEC]),
+            schema=schema))
+        run()
+        assert sink.read_committed(spark).count() == n_after_close
+
+        got = sink.read_committed(spark).toPandas().set_index("key")
+        t0us = int(pd.Timestamp(T0).value // 1000)
+        assert got.loc["in_w", "then_us"] == t0us + 5_000_000
+        assert got.loc["edge", "then_us"] == t0us + 30_000_000
+        assert pd.isna(got.loc["late", "then_us"])
+        assert pd.isna(got.loc["same", "then_us"])
