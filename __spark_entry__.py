@@ -2286,6 +2286,36 @@ def _cm_oracle_sql() -> str:
     """
 
 
+_JOURNEY_W_US = 7 * 24 * 3600 * 1_000_000  # 7-day conversion window
+
+
+def q_journey_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage journey funnel (click → view → purchase within 7
+    days) per user — operators/funnel.py::sequence_funnel, the chained
+    running-min lowering: ONE Sort+Exchange serves all three stage
+    windows AND the final agg (vs 5 shuffles for the naive
+    agg+re-join-per-stage plan). The oracle replays the same greedy
+    chain as stepwise grouped-min CTEs and applies the identical suffix
+    window cut."""
+    from real_time_sliding_window_spark.operators.funnel import (
+        sequence_funnel,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        _us().alias("us"),
+        F.col("event_id").alias("seq"),
+    )
+    return sequence_funnel(
+        ev,
+        "user_id",
+        "event_type",
+        ["click", "view", "purchase"],
+        _JOURNEY_W_US,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2309,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r5 additions, never yet in the driver window --
         "cm_freq_docs": q_cm_freq_docs,
+        "journey_funnel_events": q_journey_funnel_events,
         "turn_latency_events": q_turn_latency_events,
         "funnel_click_error": q_funnel_click_error,
         "event_transitions": q_event_transitions,
@@ -2402,6 +2433,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "cm_freq_docs": _cm_oracle_sql(),
+        "journey_funnel_events": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+            ),
+            s1 AS (
+                SELECT user_id,
+                       min(us) FILTER (WHERE event_type = 'click') AS s1
+                FROM e GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.us) AS s2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.us > s1.s1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.us) AS s3
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us > s2.s2
+                GROUP BY e.user_id
+            ),
+            j AS (
+                SELECT s1.user_id, s1.s1, s2.s2, s3.s3
+                FROM s1
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+                WHERE s1.s1 IS NOT NULL
+            )
+            SELECT user_id,
+                   s1 AS stage_1_us,
+                   CASE WHEN s2 <= s1 + {_JOURNEY_W_US} THEN s2 END
+                       AS stage_2_us,
+                   CASE WHEN s2 <= s1 + {_JOURNEY_W_US}
+                         AND s3 <= s1 + {_JOURNEY_W_US} THEN s3 END
+                       AS stage_3_us,
+                   CAST(1
+                        + COALESCE((s2 <= s1 + {_JOURNEY_W_US})::INT, 0)
+                        + COALESCE((s2 <= s1 + {_JOURNEY_W_US}
+                                    AND s3 <= s1 + {_JOURNEY_W_US})::INT, 0)
+                       AS INTEGER) AS stages_reached
+            FROM j
+        """,
         "turn_latency_events": """
             WITH g AS (
                 SELECT event_type,

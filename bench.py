@@ -85,6 +85,7 @@ BATCH_QUERIES = [
     "brand_promo_revenue",
     "returned_top_customers",
     "cm_freq_docs",
+    "journey_funnel_events",
 ]
 
 

@@ -41,7 +41,7 @@ query exactly (the parity gate in tests).
 from __future__ import annotations
 
 from datetime import timedelta
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -327,6 +327,155 @@ def _funnel_fn(first_type: str, then_type: str, window_us: int):
             yield out
 
     return fn
+
+
+SEQUENCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("stage_us", ArrayType(LongType()), False),
+        StructField("stages_reached", LongType(), False),
+    ]
+)
+
+_SEQUENCE_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType()), True),
+        StructField("seq", ArrayType(LongType()), True),
+        StructField("typ", ArrayType(StringType()), True),
+        StructField("matched", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _sequence_fn(stages: tuple, window_us: int):
+    k = len(stages)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kk,) = key
+        if state.exists:
+            s = state.get
+            us = np.asarray(s[0], dtype=np.int64)
+            seq = np.asarray(s[1], dtype=np.int64)
+            typ = np.asarray(s[2], dtype=object)
+            matched = list(s[3]) if s[3] is not None else []
+        else:
+            us, seq, typ = _EMPTY_I64, _EMPTY_I64, _EMPTY_OBJ
+            matched = []
+
+        us, seq, typ = _merge_batch(pdfs, us, seq, typ, state.hasTimedOut)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = np.lexsort((seq, us))
+        us, seq, typ = us[order], seq[order], typ[order]
+        final = us < wm_us
+        rounds: list[list[int]] = []
+        if final.any():
+            # event-time-deterministic ROUND state machine: a round
+            # closes when it completes, or when an event lands past its
+            # stage-1 window — and that same event may then open the
+            # next round. Round boundaries depend only on event times,
+            # never on how events were batched.
+            for u, t in zip(us[final], typ[final]):
+                u = int(u)
+                if matched and len(matched) < k and (
+                    u > matched[0] + window_us
+                ):
+                    rounds.append(matched)
+                    matched = []
+                if t == stages[len(matched)]:
+                    if not matched:
+                        matched.append(u)  # ts-ordered fold: first == min
+                    elif (
+                        u > matched[-1]
+                        and u <= matched[0] + window_us
+                    ):
+                        matched.append(u)
+                    if len(matched) == k:
+                        # full match: built from FINAL events and the
+                        # greedy chain never revises — emits immediately
+                        rounds.append(matched)
+                        matched = []
+            us, seq, typ = us[~final], seq[~final], typ[~final]
+
+        # the open round closes by WATERMARK once its window is shut
+        # (no event can still arrive inside it)
+        if matched and wm_us > matched[0] + window_us:
+            rounds.append(matched)
+            matched = []
+
+        out = None
+        if rounds:
+            out = pd.DataFrame(
+                {
+                    "key": kk,
+                    "stage_us": rounds,
+                    "stages_reached": [len(r) for r in rounds],
+                }
+            )
+
+        if len(us) == 0 and len(matched) == 0:
+            state.remove()
+        else:
+            state.update((us.tolist(), seq.tolist(), typ.tolist(), matched))
+            wakes = []
+            if len(us):
+                wakes.append(int(us.min()) // 1000 + 1)
+            if matched:
+                wakes.append((matched[0] + window_us) // 1000 + 1)
+            state.setTimeoutTimestamp(
+                max(min(wakes), state.getCurrentWatermarkMs() + 1)
+            )
+
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def sequence_funnel_stream(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    window: timedelta,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    watermark_delay: timedelta = timedelta(seconds=30),
+) -> DataFrame:
+    """N-stage streaming sequence funnel — the generalized Flink-CEP
+    "followed-by" chain, same greedy-earliest-within-window rule as the
+    batch ``operators/funnel.py::sequence_funnel``. The stream emits
+    ROUNDS: the key's event sequence is partitioned greedily — a round
+    closes when it completes (emitting EARLY: its events are final and
+    the greedy chain never revises) or when an event lands past its
+    stage-1 window, in which case that event may open the next round.
+    Round boundaries are functions of EVENT TIMES only, never arrival
+    batching (the transitions max_idle lesson). The FIRST round per key
+    equals the batch operator exactly (randomized parity gate); later
+    rounds are the streaming extra — rolling funnels a batch recompute
+    would need windowed re-runs to see. State: pending tail + the open
+    round's ≤ k timestamps; keys leave state whenever both are empty."""
+    if len(stages) < 1:
+        raise ValueError("need at least one stage")
+    if window <= timedelta(0):
+        raise ValueError(f"window must be positive, got {window}")
+    wm = interval_str(watermark_delay)
+    window_us = int(window.total_seconds() * 1_000_000)
+    packed = stream.withWatermark(ts_col, wm).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(type_col).cast("string").alias("typ"),
+    ).filter(F.col("key").isNotNull())
+    return packed.groupBy("key").applyInPandasWithState(
+        _sequence_fn(tuple(stages), window_us),
+        outputStructType=SEQUENCE_OUTPUT_SCHEMA,
+        stateStructType=_SEQUENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def funnel_stream(

@@ -1797,3 +1797,158 @@ class TestCountMin:
             cm_sketch(zipf_keys, "item", depth=0, width=16)
         with pytest.raises(ValueError):
             cm_merge()
+
+
+class TestSequenceFunnel:
+    """operators/funnel.py — N-stage greedy chain vs a pandas brute
+    force, window cut, repeated stage types."""
+
+    W = 40_000_000  # 40 s in micros
+
+    @staticmethod
+    def _brute(ev: pd.DataFrame, stages, window_us):
+        out = {}
+        for k, g in ev.groupby("key"):
+            g = g.sort_values(["us", "seq"], kind="stable")
+            matched = []
+            for _, row in g.iterrows():
+                if len(matched) >= len(stages):
+                    break
+                if row.event_type != stages[len(matched)]:
+                    continue
+                if not matched:
+                    matched.append(int(row.us))
+                elif (
+                    row.us > matched[-1]
+                    and row.us <= matched[0] + window_us
+                ):
+                    matched.append(int(row.us))
+            if matched:
+                out[k] = matched
+        return out
+
+    @pytest.fixture(scope="class")
+    def events(self):
+        rng = np.random.default_rng(31)
+        n = 400
+        return pd.DataFrame(
+            {
+                "key": [f"k{rng.integers(12)}" for _ in range(n)],
+                "seq": range(n),
+                "event_type": rng.choice(
+                    ["click", "view", "purchase"], size=n,
+                    p=[0.5, 0.35, 0.15],
+                ),
+                # second-granularity WITH ties
+                "us": rng.integers(0, 100, n) * 1_000_000,
+            }
+        )
+
+    def test_matches_brute_force(self, spark, events):
+        from real_time_sliding_window_spark.operators.funnel import (
+            sequence_funnel,
+        )
+
+        stages = ["click", "view", "purchase"]
+        df = spark.createDataFrame(
+            events, schema="key string, seq long, event_type string, us long"
+        )
+        got = sequence_funnel(
+            df, "key", "event_type", stages, self.W
+        ).toPandas().set_index("key")
+        exp = self._brute(events, stages, self.W)
+        assert set(got.index) == set(exp)
+        for k, chain in exp.items():
+            for i in range(3):
+                cell = got.loc[k, f"stage_{i + 1}_us"]
+                if i < len(chain):
+                    assert cell == chain[i], (k, i)
+                else:
+                    assert pd.isna(cell), (k, i)
+            assert got.loc[k, "stages_reached"] == len(chain)
+
+    def test_repeated_stage_types(self, spark):
+        from real_time_sliding_window_spark.operators.funnel import (
+            sequence_funnel,
+        )
+
+        # click -> click -> click: three strictly increasing clicks
+        ev = pd.DataFrame(
+            {
+                "key": ["a"] * 4 + ["b"] * 2,
+                "seq": range(6),
+                "event_type": ["click"] * 6,
+                "us": [10, 10, 20, 30, 5, 5],
+            }
+        )
+        got = (
+            sequence_funnel(
+                spark.createDataFrame(
+                    ev,
+                    schema="key string, seq long, event_type string, us long",
+                ),
+                "key",
+                "event_type",
+                ["click", "click", "click"],
+                10**9,
+            )
+            .toPandas()
+            .set_index("key")
+        )
+        # a: 10 -> 20 -> 30 (the tie at 10 can't chain: strict >)
+        assert list(got.loc["a", ["stage_1_us", "stage_2_us",
+                                 "stage_3_us"]]) == [10, 20, 30]
+        # b: two clicks at the same us -> only stage 1
+        assert got.loc["b", "stages_reached"] == 1
+        assert pd.isna(got.loc["b", "stage_2_us"])
+
+    def test_window_cut_is_suffix(self, spark):
+        from real_time_sliding_window_spark.operators.funnel import (
+            sequence_funnel,
+        )
+
+        # chain exists but stage 3 lands past the window: nulled, and
+        # stages_reached counts the surviving prefix
+        ev = pd.DataFrame(
+            {
+                "key": ["a"] * 3,
+                "seq": range(3),
+                "event_type": ["click", "view", "purchase"],
+                "us": [0, 5_000_000, 60_000_000],
+            }
+        )
+        got = (
+            sequence_funnel(
+                spark.createDataFrame(
+                    ev,
+                    schema="key string, seq long, event_type string, us long",
+                ),
+                "key",
+                "event_type",
+                ["click", "view", "purchase"],
+                self.W,
+            )
+            .toPandas()
+            .iloc[0]
+        )
+        assert got.stage_1_us == 0 and got.stage_2_us == 5_000_000
+        assert pd.isna(got.stage_3_us) and got.stages_reached == 2
+
+    def test_single_sort_exchange_plan(self, spark, events):
+        from real_time_sliding_window_spark.operators.funnel import (
+            sequence_funnel,
+        )
+
+        df = spark.createDataFrame(
+            events, schema="key string, seq long, event_type string, us long"
+        )
+        out = sequence_funnel(
+            df, "key", "event_type", ["click", "view", "purchase"], self.W
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the 3 chained running-mins + final agg share ONE sort and ONE
+        # exchange on key (the agg rides the window's partitioning)
+        assert plan.count("Sort ") + plan.count("Sort\n") <= 2  # window sort (+AQE variance)
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -2825,3 +2825,150 @@ class TestCepStream:
         assert got.loc["edge", "then_us"] == t0us + 30_000_000
         assert pd.isna(got.loc["late", "then_us"])
         assert pd.isna(got.loc["same", "then_us"])
+
+
+class TestSequenceFunnelStream:
+    """streaming/cep.py::sequence_funnel_stream — randomized parity vs
+    the batch operator, early-emit on full match, one-shot per key."""
+
+    def test_matches_batch_operator_randomized(self, spark, tmp_path):
+        from real_time_sliding_window_spark.operators.funnel import (
+            sequence_funnel,
+        )
+        from real_time_sliding_window_spark.streaming.cep import (
+            sequence_funnel_stream,
+        )
+
+        rng = np.random.default_rng(41)
+        n = 300
+        events = pd.DataFrame(
+            {
+                "key": [f"k{rng.integers(10)}" for _ in range(n)],
+                "event_id": range(n),
+                "event_type": rng.choice(
+                    ["click", "view", "purchase"], size=n,
+                    p=[0.5, 0.35, 0.15],
+                ),
+                "ts": [T0 + int(s) * SEC for s in rng.integers(0, 100, n)],
+            }
+        )
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        stages = ["click", "view", "purchase"]
+        window = timedelta(seconds=40)
+
+        feed = FileFeed(spark, str(tmp_path / "sq_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sq_out"))
+        ckpt = str(tmp_path / "sq_ckpt")
+        ev = events.sort_values("ts", kind="stable").reset_index(drop=True)
+        for idx in np.array_split(np.arange(n), 3):
+            b = ev.iloc[idx].sample(frac=1.0, random_state=5)
+            feed.push(spark.createDataFrame(b, schema=schema))
+
+        def run():
+            res = sequence_funnel_stream(
+                feed.stream(schema), "key", "event_type", stages, window,
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-seq")
+
+        run()
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [10**6], "event_type": ["view"],
+             "ts": [T0 + 100_000 * SEC]}
+        )
+        feed.push(spark.createDataFrame(closer, schema=schema))
+        run()
+
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"]
+        # stream emits ROUNDS; round 1 (earliest stage-1 ts per key) is
+        # the batch operator's chain
+        got["s1"] = got.stage_us.map(lambda a: a[0])
+        first = got.sort_values("s1").groupby("key").first()
+
+        static = spark.createDataFrame(events, schema=schema).select(
+            "key",
+            F.col("event_id").alias("seq"),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        )
+        exp = sequence_funnel(
+            static, "key", "event_type", stages,
+            int(window.total_seconds() * 1_000_000),
+        ).toPandas().set_index("key")
+
+        assert set(first.index) == set(exp.index)
+        for k in exp.index:
+            chain = [
+                int(exp.loc[k, f"stage_{i + 1}_us"])
+                for i in range(3)
+                if not pd.isna(exp.loc[k, f"stage_{i + 1}_us"])
+            ]
+            assert list(first.loc[k, "stage_us"]) == chain, k
+            assert first.loc[k, "stages_reached"] == len(chain)
+        # later rounds never start before the previous closes (equality
+        # allowed: after a FULL match, a same-us later-seq stage-1 event
+        # may open the next round — stage 1 has no strict-> constraint)
+        for k, grp in got.groupby("key"):
+            chains = sorted(grp.stage_us, key=lambda a: a[0])
+            for a, b in zip(chains, chains[1:]):
+                assert b[0] >= a[-1]
+
+    def test_full_match_emits_early_and_once(self, spark, tmp_path):
+        """A completed chain emits as soon as its events are final —
+        BEFORE the stage-1 window closes — and never re-emits."""
+        from real_time_sliding_window_spark.streaming.cep import (
+            sequence_funnel_stream,
+        )
+
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        b1 = pd.DataFrame(
+            {
+                "key": ["a", "a", "a", "mover"],
+                "event_id": [0, 1, 2, 3],
+                "event_type": ["click", "view", "purchase", "view"],
+                "ts": [T0, T0 + 2 * SEC, T0 + 4 * SEC, T0 + 30 * SEC],
+            }
+        )
+        feed = FileFeed(spark, str(tmp_path / "se_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "se_out"))
+        ckpt = str(tmp_path / "se_ckpt")
+
+        def run():
+            res = sequence_funnel_stream(
+                feed.stream(schema), "key", "event_type",
+                ["click", "view", "purchase"],
+                window=timedelta(days=365),  # window NEVER closes in-test
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-early")
+
+        feed.push(spark.createDataFrame(b1, schema=schema))
+        run()
+        # the mover row put the watermark past a's chain: full match out
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key == "a"]
+        assert len(got) == 1 and got.iloc[0].stages_reached == 3
+
+        # more a-events later: no second emission (state was removed)
+        b2 = pd.DataFrame(
+            {"key": ["a", "zz"], "event_id": [10, 11],
+             "event_type": ["click", "view"],
+             "ts": [T0 + 60 * SEC, T0 + 120 * SEC]}
+        )
+        feed.push(spark.createDataFrame(b2, schema=schema))
+        run()
+        closer = pd.DataFrame(
+            {"key": ["zz"], "event_id": [12], "event_type": ["view"],
+             "ts": [T0 + timedelta(days=400)]}
+        )
+        feed.push(spark.createDataFrame(closer, schema=schema))
+        run()
+        got = sink.read_committed(spark).toPandas()
+        a_rows = got[got.key == "a"]
+        # the original chain emitted once; the post-removal click@60s
+        # starts a FRESH one-shot funnel that later emits stage-1-only
+        assert len(a_rows) == 2
+        assert sorted(a_rows.stages_reached) == [1, 3]
