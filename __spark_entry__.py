@@ -2286,6 +2286,77 @@ def _cm_oracle_sql() -> str:
     """
 
 
+_JS_DEPTH, _JS_WIDTH = 4, 512
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (Cormode–Muthukrishnan §4.2):
+    |orders ⋈ lineitem on orderkey| estimated from two count-min
+    sketches via min-over-rows inner product — the whole estimate costs
+    O(depth×width), never a shuffle of either table: the planner-side
+    cardinality oracle a 100 TB optimizer consults BEFORE choosing a
+    join strategy. The true size rides along (one real join at bench
+    scale; at production scale you would obviously skip it — it is here
+    so the oracle row itself certifies est ≥ true)."""
+    from real_time_sliding_window_spark.operators.cm_sketch import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey"
+    )
+    est = cm_inner_product(
+        cm_sketch(orders, "o_orderkey", depth=_JS_DEPTH, width=_JS_WIDTH),
+        cm_sketch(li, "l_orderkey", depth=_JS_DEPTH, width=_JS_WIDTH),
+        depth=_JS_DEPTH,
+    )
+    true = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("true_join_size"))
+    return est.crossJoin(F.broadcast(true))
+
+
+def _join_size_oracle_sql() -> str:
+    """DuckDB replay: same md5 buckets, same min-over-rows dot."""
+    bucket = (
+        "('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' ||"
+        " CAST({k} AS VARCHAR)), 1, 15))::BIGINT % {w}"
+    )
+    return f"""
+        WITH rows_r AS (
+            SELECT unnest(generate_series(0, {_JS_DEPTH - 1})) AS r
+        ),
+        sa AS (
+            SELECT r, {bucket.format(k='o_orderkey', w=_JS_WIDTH)} AS c,
+                   count(*) AS cnt
+            FROM orders CROSS JOIN rows_r GROUP BY 1, 2
+        ),
+        sb AS (
+            SELECT r, {bucket.format(k='l_orderkey', w=_JS_WIDTH)} AS c,
+                   count(*) AS cnt
+            FROM lineitem CROSS JOIN rows_r GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT rows_r.r,
+                   CAST(COALESCE(sum(sa.cnt * sb.cnt), 0) AS BIGINT)
+                       AS dot
+            FROM rows_r
+            LEFT JOIN sa ON sa.r = rows_r.r
+            LEFT JOIN sb ON sb.r = sa.r AND sb.c = sa.c
+            GROUP BY rows_r.r
+        )
+        SELECT (SELECT CAST(min(dot) AS BIGINT) FROM dots)
+                   AS est_join_size,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey) AS true_join_size
+    """
+
+
 _JOURNEY_W_US = 7 * 24 * 3600 * 1_000_000  # 7-day conversion window
 
 
@@ -2340,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 additions, never yet in the driver window --
         "cm_freq_docs": q_cm_freq_docs,
         "journey_funnel_events": q_journey_funnel_events,
+        "join_size_estimate": q_join_size_estimate,
         "turn_latency_events": q_turn_latency_events,
         "funnel_click_error": q_funnel_click_error,
         "event_transitions": q_event_transitions,
@@ -2433,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "cm_freq_docs": _cm_oracle_sql(),
+        "join_size_estimate": _join_size_oracle_sql(),
         "journey_funnel_events": f"""
             WITH e AS (
                 SELECT user_id, epoch_us(ts) AS us, event_type FROM events

@@ -86,6 +86,7 @@ BATCH_QUERIES = [
     "returned_top_customers",
     "cm_freq_docs",
     "journey_funnel_events",
+    "join_size_estimate",
 ]
 
 

@@ -107,6 +107,40 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
+def cm_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-size estimation from two sketches [Cormode & Muthukrishnan
+    §4.2]: the equi-join cardinality |A ⋈ B| on the sketched key equals
+    the inner product of the two frequency vectors, and
+    ``min_r Σ_c A[r][c]·B[r][c]`` OVER-estimates it (collisions only
+    add) within ``e·N_a·N_b/width`` with probability ``1 − e^−depth``.
+    The sketches must share (depth, width) — the caller's contract, as
+    with ``cm_estimate``.
+
+    Output: one row ``(est_join_size)``. Plan: both sketch sides are
+    ≤ depth×width rows; the equi-join on (r, c) broadcasts one side, the
+    per-row products sum in a depth-row agg, and a 1-row min finishes —
+    the whole estimate costs O(sketch), never O(data): the planner-side
+    join-size oracle a 100 TB optimizer wants BEFORE committing to a
+    shuffle strategy."""
+    joined = sketch_a.alias("a").join(
+        F.broadcast(sketch_b.alias("b")), ["r", "c"]
+    )
+    per_row = joined.groupBy("r").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")
+    )
+    # a row with NO overlapping cells has dot = 0 and must reach the
+    # min (it proves the true product is 0) — spine over all depth rows
+    spine = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("r")
+    )
+    full = spine.join(per_row, "r", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0).cast("long")).alias("dot")
+    )
+    return full.agg(F.min("dot").alias("est_join_size"))
+
+
 def cm_estimate(
     sketch: DataFrame,
     probes: DataFrame,

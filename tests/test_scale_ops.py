@@ -1952,3 +1952,55 @@ class TestSequenceFunnel:
         import re
 
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestCmInnerProduct:
+    """cm_sketch.cm_inner_product — join-size estimation: over-estimate,
+    CM error bound, and the zero-overlap floor."""
+
+    def test_join_size_bounds(self, spark):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_inner_product,
+            cm_sketch,
+        )
+
+        rng = np.random.default_rng(53)
+        a = pd.DataFrame(
+            {"k": [f"key{rng.integers(80)}" for _ in range(3000)]}
+        )
+        b = pd.DataFrame(
+            {"k": [f"key{rng.integers(80)}" for _ in range(1000)]}
+        )
+        dfa = spark.createDataFrame(a)
+        dfb = spark.createDataFrame(b)
+        true_size = dfa.join(dfb, "k").count()
+        depth, width = 4, 256
+        est = cm_inner_product(
+            cm_sketch(dfa, "k", depth=depth, width=width),
+            cm_sketch(dfb, "k", depth=depth, width=width),
+            depth=depth,
+        ).collect()[0].est_join_size
+        assert est >= true_size
+        bound = 2.718281828 * len(a) * len(b) / width
+        assert est <= true_size + bound
+
+    def test_disjoint_keys_near_zero(self, spark):
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_inner_product,
+            cm_sketch,
+        )
+
+        dfa = spark.createDataFrame(
+            pd.DataFrame({"k": [f"a{i}" for i in range(40)]})
+        )
+        dfb = spark.createDataFrame(
+            pd.DataFrame({"k": [f"b{i}" for i in range(40)]})
+        )
+        depth, width = 4, 1024
+        est = cm_inner_product(
+            cm_sketch(dfa, "k", depth=depth, width=width),
+            cm_sketch(dfb, "k", depth=depth, width=width),
+            depth=depth,
+        ).collect()[0].est_join_size
+        # 40x40 keys in 1024 buckets: min over 4 rows is ~always 0
+        assert 0 <= est <= 4
