@@ -2387,6 +2387,123 @@ def q_journey_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning per event_type: ntile(10) over the total
+    (cents, event_id) order — covers the ntile analytic family (the one
+    window-function class the suite hadn't pinned; row_number/rank/lag/
+    lead/RANGE frames are elsewhere). The tiebreak matters: ntile is
+    deterministic only under a TOTAL order, and both engines use the
+    same equal-size-buckets-remainder-first rule. One Sort+Exchange per
+    event_type partition, then a 50-row agg."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", _cents().alias("cents"), "event_id"
+    )
+    w = SqlWindow.partitionBy("event_type").orderBy("cents", "event_id")
+    tiles = ev.withColumn("decile", F.ntile(10).over(w))
+    return tiles.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+def q_value_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates the EXACT way: per event_type, the integer
+    moment sums (n, Σx, Σx², Σh, Σh², Σxh) between value-cents and
+    hour-of-day — everything a consumer needs for mean/variance/
+    covariance/correlation, carried as int64 so the hash can never
+    drift on float summation order (the float `corr()` built-in exists
+    on both engines but is order-sensitive in the last bits; moments
+    ADD, so this form is also mergeable across corpus increments).
+    Magnitudes: cents ≤ ~5e3, cents² ≤ 2.5e7 — Σ over 10^12 rows still
+    < 2^63 only with per-shard aggregation; at driver scales it is
+    exact outright."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        _cents().alias("x"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+        F.sum("h").alias("sum_h"),
+        F.sum(F.col("h") * F.col("h")).alias("sum_hh"),
+        F.sum(F.col("x") * F.col("h")).alias("sum_xh"),
+    )
+
+
+def q_status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape conditional aggregation over a join (adapted:
+    this lineitem has no shipmode, so linestatus plays its role): per
+    linestatus, how many 1996-shipped items belong to high- vs
+    low-priority orders. Plan: date filter pushed to the lineitem scan,
+    one sort-merge join on orderkey (both sides scale), conditional
+    counts fold in ONE agg pass — the CASE lives inside the aggregate,
+    never as a pivot join."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_count"),
+            F.count(F.when(~high, 1)).alias("low_priority_count"),
+        )
+    )
+
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape ratio aggregate: the share of 1996-03 revenue
+    from PROMO parts. The ratio is emitted as exact integers —
+    numerator, denominator, and parts-per-million via integer division
+    — because a float percentage hashes differently per summation
+    order. Plan: month filter pushed to the lineitem scan, part dim
+    broadcast, one conditional agg."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.expr("promo_cents * 1000000L DIV total_cents").alias("promo_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2412,6 +2529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_freq_docs": q_cm_freq_docs,
         "journey_funnel_events": q_journey_funnel_events,
         "join_size_estimate": q_join_size_estimate,
+        "value_deciles_events": q_value_deciles_events,
+        "value_moments_events": q_value_moments_events,
+        "status_priority_counts": q_status_priority_counts,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
         "turn_latency_events": q_turn_latency_events,
         "funnel_click_error": q_funnel_click_error,
         "event_transitions": q_event_transitions,
@@ -2506,6 +2627,72 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
+        "value_deciles_events": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       ntile(10) OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(round(value * 100) AS BIGINT),
+                                    event_id
+                       ) AS decile
+                FROM events
+            )
+            SELECT event_type, decile,
+                   count(*) AS n_rows,
+                   min(cents) AS min_cents,
+                   max(cents) AS max_cents
+            FROM t
+            GROUP BY event_type, decile
+        """,
+        "value_moments_events": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(h) AS BIGINT) AS sum_h,
+                   CAST(sum(h * h) AS BIGINT) AS sum_hh,
+                   CAST(sum(x * h) AS BIGINT) AS sum_xh
+            FROM (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS x,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS h
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "status_priority_counts": """
+            SELECT l.l_linestatus,
+                   count(*) FILTER (
+                       WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   ) AS high_priority_count,
+                   count(*) FILTER (
+                       WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   ) AS low_priority_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_linestatus
+        """,
+        "promo_revenue_ratio": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(round(
+                            l.l_extendedprice * (1 - l.l_discount) * 100
+                        ) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+                    CAST(sum(CAST(round(
+                        l.l_extendedprice * (1 - l.l_discount) * 100
+                    ) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT promo_cents, total_cents,
+                   CAST(promo_cents * 1000000 // total_cents AS BIGINT)
+                       AS promo_ppm
+            FROM agg
+        """,
         "journey_funnel_events": f"""
             WITH e AS (
                 SELECT user_id, epoch_us(ts) AS us, event_type FROM events

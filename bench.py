@@ -87,6 +87,10 @@ BATCH_QUERIES = [
     "cm_freq_docs",
     "journey_funnel_events",
     "join_size_estimate",
+    "value_deciles_events",
+    "value_moments_events",
+    "status_priority_counts",
+    "promo_revenue_ratio",
 ]
 
 
