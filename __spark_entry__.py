@@ -2286,6 +2286,70 @@ def _cm_oracle_sql() -> str:
     """
 
 
+_PR_ITER, _PR_DAMP, _PR_SCALE = 3, 85, 10**9
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate k-NN similarity graph
+    (operators/graph.py::pagerank over similarity.knn_graph edges) —
+    the canonical iterative dataflow: 3 integer fixed-point iterations,
+    each one src-join + dst-agg with per-iteration lineage truncation
+    (the connected-components discipline). Exact integer arithmetic end
+    to end, so the oracle replays the LSH graph AND every iteration
+    bit-for-bit (dangling mass pruned — stated in the operator
+    docstring)."""
+    from real_time_sliding_window_spark.operators.graph import pagerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = S.knn_graph(emb, k=3, n_planes=8, multiprobe=True)
+    return pagerank(
+        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB replay: knn edges (the _knn_graph_sql CTE chain minus the
+    mutual flag) + the unrolled integer iterations."""
+    d, scale = _PR_DAMP, _PR_SCALE
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITER + 1):
+        its.append(f"""
+        i{i} AS (
+            SELECT nn.node,
+                   (SELECT (CAST({100 - d} AS BIGINT) * {scale})
+                        // (100 * n) FROM c)
+                   + ({d} * COALESCE(m.mass, 0)) // 100 AS rank
+            FROM nodes nn LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum(r.rank // dg.deg) AS BIGINT) AS mass
+                FROM edges e
+                JOIN {prev} r ON r.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) m USING (node)
+        )""")
+        prev = f"i{i}"
+    return f"""
+        WITH edges AS (
+            SELECT src, dst FROM ({_knn_graph_sql(n_planes=8, k=3)})
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+            )
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        c AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, (SELECT {scale} // n FROM c) AS rank FROM nodes
+        ),
+        {','.join(its)}
+        SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
+    """
+
+
 _JS_DEPTH, _JS_WIDTH = 4, 512
 
 
@@ -2519,16 +2583,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict entries only. Queries that have never earned a driver-green row are
     # rotated to the FRONT; queries displaced past position 50 are long-stable
     # pins (driver-green in rounds 2-4) and remain covered by
-    # tools/oracle_check.py which runs the identical compare at sf0.01+sf0.1.
+    # tools/oracle_check.py which runs the identical compare at sf0.01+sf0.1
+    # (+ the sf1 tiling for every r5 addition).
     # Driver-row history: every entry past position 50 below was driver-green
     # in BOTH CORRECTNESS_r03 and CORRECTNESS_r04 (verified before each
-    # rotation); the 9 r3/r4 entries below the r5 block were judge-verified in
-    # r4 (VERDICT.md) and take their driver row in r5.
+    # rotation); the 9 r3/r4 entries below the r5 blocks were judge-verified
+    # in r4 (VERDICT.md) and take their driver row in r5.
     return {
         # -- r5 additions, never yet in the driver window --
         "cm_freq_docs": q_cm_freq_docs,
         "journey_funnel_events": q_journey_funnel_events,
         "join_size_estimate": q_join_size_estimate,
+        "pagerank_knn": q_pagerank_knn,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -2627,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
+        "pagerank_knn": _pagerank_oracle_sql(),
         "value_deciles_events": """
             WITH t AS (
                 SELECT event_type,

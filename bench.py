@@ -87,6 +87,7 @@ BATCH_QUERIES = [
     "cm_freq_docs",
     "journey_funnel_events",
     "join_size_estimate",
+    "pagerank_knn",
     "value_deciles_events",
     "value_moments_events",
     "status_priority_counts",

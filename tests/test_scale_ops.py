@@ -2004,3 +2004,73 @@ class TestCmInnerProduct:
         ).collect()[0].est_join_size
         # 40x40 keys in 1024 buckets: min over 4 rows is ~always 0
         assert 0 <= est <= 4
+
+
+class TestPageRank:
+    """operators/graph.py — exact integer fixed-point parity vs a
+    reference replication, structure sanity, validation."""
+
+    @staticmethod
+    def _ref(edges, n_iter=3, damping=85, scale=10**9):
+        from collections import Counter, defaultdict
+
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = len(nodes)
+        deg = Counter(s for s, _ in edges)
+        rank = {v: scale // n for v in nodes}
+        base = (100 - damping) * scale // (100 * n)
+        for _ in range(n_iter):
+            mass = defaultdict(int)
+            for s, d in edges:
+                mass[d] += rank[s] // deg[s]
+            rank = {
+                v: base + (damping * mass[v]) // 100 for v in nodes
+            }
+        return rank
+
+    def test_exact_parity_random_graph(self, spark):
+        from real_time_sliding_window_spark.operators.graph import pagerank
+
+        rng = np.random.default_rng(61)
+        edges = list(
+            {
+                (f"n{rng.integers(30)}", f"n{rng.integers(30)}")
+                for _ in range(150)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"])
+        )
+        got = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, n_iter=3).collect()
+        }
+        assert got == self._ref(edges, n_iter=3)
+
+    def test_star_graph_center_dominates(self, spark):
+        from real_time_sliding_window_spark.operators.graph import pagerank
+
+        edges = [(f"leaf{i}", "center") for i in range(20)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"])
+        )
+        got = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, n_iter=3).collect()
+        }
+        leafs = [v for k, v in got.items() if k != "center"]
+        assert got["center"] > 10 * max(leafs)
+        # mass never exceeds scale (floor leakage only shrinks it)
+        assert sum(got.values()) <= 10**9
+
+    def test_validation(self, spark):
+        from real_time_sliding_window_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            pd.DataFrame([("a", "b")], columns=["src", "dst"])
+        )
+        with pytest.raises(ValueError):
+            pagerank(df, n_iter=0)
+        with pytest.raises(ValueError):
+            pagerank(df, damping_pct=101)
