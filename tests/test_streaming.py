@@ -2972,3 +2972,62 @@ class TestSequenceFunnelStream:
         # starts a FRESH one-shot funnel that later emits stage-1-only
         assert len(a_rows) == 2
         assert sorted(a_rows.stages_reached) == [1, 3]
+
+
+class TestIvfAnnIndex:
+    """streaming/ann_index.py — incremental IVF index: accumulated index
+    row-identical to a batch build, queries equal the batch ANN answer
+    exactly, exactly-once replay."""
+
+    def test_incremental_equals_batch_ann(self, spark, tmp_path):
+        from real_time_sliding_window_spark.operators.similarity import (
+            ivf_kmeans_topk,
+            kmeans_centroids,
+        )
+        from real_time_sliding_window_spark.streaming.ann_index import (
+            ivf_index_topk,
+            run_ivf_index,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).cache()
+        cents = kmeans_centroids(emb, n_centroids=8, n_iter=3)
+        n = emb.count()
+
+        # 3 disjoint batches by vec_id stripe (append-only unique ids)
+        feed = FileFeed(spark, str(tmp_path / "ivf_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "ivf_idx"))
+        ckpt = str(tmp_path / "ivf_ckpt")
+        schema = "vec_id long, embedding array<float>, label int"
+        for i in range(3):
+            feed.push(emb.filter(F.col("vec_id") % 3 == i))
+            run_ivf_index(
+                feed.stream(schema), sink, ckpt, cents, spill=2
+            )
+        n_rows = sink.read_committed(spark).count()
+        run_ivf_index(feed.stream(schema), sink, ckpt, cents, spill=2)
+        assert sink.read_committed(spark).count() == n_rows  # exactly-once
+        assert n_rows >= n  # spill=2 assigns most vectors twice
+
+        query_ids = [0, 7, 23, 55]
+        queries = emb.filter(F.col("vec_id").isin(query_ids))
+        got = ivf_index_topk(
+            sink.read_committed(spark), queries, cents,
+            k=3, n_probe=2, spill=2,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        exp = ivf_kmeans_topk(
+            emb, query_ids, k=3, n_probe=2, centroids=cents, spill=2
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["query_id", "neighbor_id", "rank"]],
+            exp[["query_id", "neighbor_id", "rank"]],
+        )
+
+    def test_spill_validation(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.ann_index import (
+            run_ivf_index,
+        )
+
+        with pytest.raises(ValueError):
+            run_ivf_index(None, None, "x", [[0]], spill=0)
