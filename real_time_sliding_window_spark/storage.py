@@ -132,3 +132,68 @@ def drop_expired_partitions(
             if not dry_run:
                 shutil.rmtree(os.path.join(path, name))
     return dropped
+
+
+def zorder_column(cols: Sequence[str], mins: Sequence[int],
+                  maxs: Sequence[int], bits: int = 10):
+    """Morton (z-order) key over integer columns: each value is scaled to
+    [0, 2^bits) by exact integer arithmetic against the supplied
+    min/max, then the bits are interleaved column-round-robin. Rows
+    close in z are close in EVERY dimension — the multi-column
+    locality a single sort key cannot give."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    k = len(cols)
+    top = (1 << bits) - 1
+    for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = max(int(hi) - int(lo), 1)
+        scaled = f"(CAST({c} AS BIGINT) - {int(lo)}) * {top} DIV {span}"
+        for b in range(bits):
+            shift = b * k + i
+            terms.append(f"(((({scaled}) >> {b}) & 1) << {shift})")
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 10,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDER layout — the third layout family (bucketed = co-located
+    joins; time-partitioned = temporal pruning; z-ordered = MULTI-column
+    range pruning for interactive slicing). Rows are range-partitioned
+    and sorted by the Morton key of ``cols``, so each output file covers
+    a small hyper-rectangle of the value space and its parquet footer
+    min/max stats exclude it for selective filters on ANY of the
+    z-ordered columns — not just a leading sort prefix. (Delta/Iceberg
+    OPTIMIZE ZORDER is this exact layout; here it is a plain parquet
+    write.)
+
+    Cost: one 2k-scalar min/max aggregate (constants to the driver) +
+    one range shuffle at write time; reads pay nothing. Pruning is
+    footer-stats-driven, measured directly in
+    tests/test_plans.py::TestZOrder by intersecting per-file min/max
+    with a slice predicate — z-ordered files overlap a thin slice in
+    either dimension ~√(selectivity) of the time an unsorted layout
+    does."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"__lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("long").alias(f"__hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"__lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"__hi{i}"] for i in range(len(cols))]
+    z = zorder_column(cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -352,3 +352,72 @@ def test_q7_trade_volume_dims_broadcast_filters_pushed(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+class TestZOrder:
+    """storage.write_zordered — file-skipping measured straight from the
+    parquet footers: per-file min/max rectangles vs slice predicates."""
+
+    @staticmethod
+    def _overlap_fraction(path, col, lo, hi):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert files
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None or (fmax >= lo and fmin <= hi):
+                hits += 1
+        return hits / len(files)
+
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from real_time_sliding_window_spark.storage import write_zordered
+
+        rng = np.random.default_rng(71)
+        n = 40_000
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "x": rng.integers(0, 10_000, n),
+                    "y": rng.integers(0, 10_000, n),
+                    "payload": rng.integers(0, 100, n),
+                }
+            )
+        )
+        zpath = str(tmp_path / "zorder")
+        plain = str(tmp_path / "plain")
+        write_zordered(df, zpath, ["x", "y"], bits=10, n_files=16)
+        df.repartition(16).write.parquet(plain)
+
+        # a 10%-wide slice in EITHER dimension touches few z-files but
+        # every randomly-partitioned file
+        for col in ("x", "y"):
+            zfrac = self._overlap_fraction(zpath, col, 4000, 4999)
+            pfrac = self._overlap_fraction(plain, col, 4000, 4999)
+            assert pfrac == 1.0, (col, pfrac)
+            assert zfrac <= 0.5, (col, zfrac)
+
+        # layout is lossless: same rows back
+        got = spark.read.parquet(zpath)
+        assert got.count() == n
+        assert got.columns == ["x", "y", "payload"]
+        joined = (
+            df.groupBy("x").count().alias("a")
+            .join(got.groupBy("x").count().alias("b"), "x")
+            .filter("a.count <> b.count")
+        )
+        assert joined.count() == 0
