@@ -2286,6 +2286,61 @@ def _cm_oracle_sql() -> str:
     """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape co-location join: 1996 revenue per ASIA nation
+    where the CUSTOMER and the SUPPLIER sit in the same nation — the
+    one TPC-H join graph with a cross-dimension equality
+    (c_nationkey = s_nationkey) that never appears as a join key
+    edge. Plan: region→nation filter pushed into the broadcast dims,
+    supplier broadcast; orders date-pruned at the scan and shuffled
+    once on custkey (customer scales — NOT broadcast), then once on
+    orderkey against lineitem; the co-location constraint lands as a
+    post-join filter. Exact integer cents."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region["r_regionkey"],
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("cnk")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").alias("snk")
+    )
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("cnk") == F.col("snk"))
+        .join(F.broadcast(nation), F.col("cnk") == nation["n_nationkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 _PR_ITER, _PR_DAMP, _PR_SCALE = 3, 85, 10**9
 
 
@@ -2595,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "journey_funnel_events": q_journey_funnel_events,
         "join_size_estimate": q_join_size_estimate,
         "pagerank_knn": q_pagerank_knn,
+        "local_supplier_volume": q_local_supplier_volume,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -2694,6 +2750,24 @@ def oracle_sql() -> dict[str, str]:
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
         "pagerank_knn": _pagerank_oracle_sql(),
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
         "value_deciles_events": """
             WITH t AS (
                 SELECT event_type,

@@ -88,6 +88,7 @@ BATCH_QUERIES = [
     "journey_funnel_events",
     "join_size_estimate",
     "pagerank_knn",
+    "local_supplier_volume",
     "value_deciles_events",
     "value_moments_events",
     "status_priority_counts",
