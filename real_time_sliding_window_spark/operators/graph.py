@@ -61,6 +61,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one scalar — constants-only driver traffic
+    if n == 0:
+        # empty graph: empty result, not a ZeroDivisionError buried in
+        # the base-mass arithmetic
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=True)
     base = (100 - damping_pct) * scale // (100 * n)

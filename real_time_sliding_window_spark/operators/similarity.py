@@ -210,6 +210,51 @@ def _kmeans_rounds(q: DataFrame, n_centroids: int, n_iter: int,
     return cents
 
 
+def _probe_score_rank(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int,
+    n_probe: int,
+    dedup: bool,
+) -> DataFrame:
+    """Shared IVF query tail — used by BOTH ivf_kmeans_topk (batch) and
+    streaming/ann_index.ivf_index_topk, whose pinned guarantee is that
+    index queries return EXACTLY the batch answer: one definition means
+    the probe explode, the int-cosine, the spill dedup, and the
+    (cosine desc, neighbor_id asc) tie-break can never drift apart.
+    ``assigned``: (cid, vec_id, qv) rows; ``queries``: (vec_id, qv)."""
+    probe_col = (
+        _assign_udf(centroids)("qv")
+        if n_probe == 1
+        else F.explode(_assign_udf(centroids, n_probe)("qv"))
+    )
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        probe_col.alias("cid"),
+    )
+    pairs = F.broadcast(qs).join(assigned, "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = C.int_dot("q_qv", "qv").cast("double") / (
+        C.int_norm("q_qv") * C.int_norm("qv")
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    if dedup:
+        # a neighbor assigned to several probed cells appears once per
+        # cell — dedup before ranking or top-k would repeat it
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -292,38 +337,12 @@ def ivf_kmeans_topk(
         if spill == 1
         else F.explode(_assign_udf(centroids, spill)("qv"))
     )
-    assigned = q.withColumn("cid", assign_col)
-    probe_col = (
-        _assign_udf(centroids)("qv")
-        if n_probe == 1
-        else F.explode(_assign_udf(centroids, n_probe)("qv"))
+    assigned = q.withColumn("cid", assign_col).select("cid", "vec_id", "qv")
+    queries = q.filter(F.col("vec_id").isin(list(query_ids))).select(
+        "vec_id", "qv"
     )
-    queries = (
-        q.filter(F.col("vec_id").isin(list(query_ids)))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qv").alias("q_qv"),
-            probe_col.alias("cid"),
-        )
-    )
-    pairs = F.broadcast(queries).join(assigned, "cid").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = C.int_dot("q_qv", "qv").cast("double") / (
-        C.int_norm("q_qv") * C.int_norm("qv")
-    )
-    scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
-    )
-    if spill > 1:
-        # a neighbor spilled into several probed cells appears once per
-        # cell — dedup before ranking or top-k would repeat it
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _probe_score_rank(
+        assigned, queries, centroids, k, n_probe, dedup=spill > 1
     )
 
 

@@ -182,12 +182,26 @@ def write_zordered(
     does."""
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("write_zordered needs at least one column")
+    if bits * len(cols) > 63:
+        # Java shifts are mod-64: a wrapped shift would silently
+        # interleave different columns into the same bit positions and
+        # quietly destroy the hyper-rectangle property
+        raise ValueError(
+            f"bits*len(cols) must be <= 63, got {bits}*{len(cols)}"
+        )
     stats = df.agg(
         *[F.min(c).cast("long").alias(f"__lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("long").alias(f"__hi{i}") for i, c in enumerate(cols)],
     ).collect()[0]
     mins = [stats[f"__lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"__hi{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        raise ValueError(
+            "write_zordered got an empty input (or an all-NULL column) — "
+            "no min/max stats to scale against"
+        )
     z = zorder_column(cols, mins, maxs, bits=bits)
     (
         df.withColumn("__z", z)

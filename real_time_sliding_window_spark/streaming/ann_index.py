@@ -41,11 +41,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from real_time_sliding_window_spark.functions import columns as C
 from real_time_sliding_window_spark.operators.similarity import (
     _assign_udf,
+    _probe_score_rank,
     _quantized,
 )
 
@@ -102,32 +101,13 @@ def ivf_index_topk(
     ranking rule as ``ivf_kmeans_topk`` — (query_id, neighbor_id,
     cosine, rank), cosine exact from the stored quantized vectors,
     self-matches excluded. ``spill`` must match the value the index was
-    built with (it only controls the duplicate-candidate dedup here)."""
+    built with (it only controls the duplicate-candidate dedup here).
+    The whole query tail is similarity._probe_score_rank — the SAME
+    code object the batch path runs, which is what makes the
+    exactly-the-batch-answer guarantee structural rather than a
+    copy-paste discipline."""
     q = _quantized(queries, id_col, vec_col)
-    probe_col = (
-        _assign_udf(centroids)("qv")
-        if n_probe == 1
-        else F.explode(_assign_udf(centroids, n_probe)("qv"))
-    )
-    qs = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        probe_col.alias("cid"),
-    )
-    pairs = F.broadcast(qs).join(index, "cid").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = C.int_dot("q_qv", "qv").cast("double") / (
-        C.int_norm("q_qv") * C.int_norm("qv")
-    )
-    scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
-    )
-    if spill > 1:
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _probe_score_rank(
+        index, q.select("vec_id", "qv"), centroids, k, n_probe,
+        dedup=spill > 1,
     )

@@ -32,10 +32,15 @@ unbounded funnel (the batch query's semantics) a conversion can arrive
 arbitrarily late and no append-mode row is ever final. A key's row
 emits exactly once, when the watermark passes ``first + window`` (every
 qualifying conversion is behind the watermark by then), and the key's
-state is REMOVED — the funnel is one-shot per key, so total state is
-(pending tail + 2 longs) per un-emitted key. Batch-equivalence: with
-``window`` ≥ the stream's span the emitted rows equal the batch funnel
-query exactly (the parity gate in tests).
+state collapses to a TOMBSTONE — one-shot means later ``first_type``
+events must never restart the key, and a tombstone is the only way to
+guarantee that independent of how events were batched into triggers
+(an emitted-then-removed key would resurrect on its next event). State:
+(pending tail + 2 longs) per un-emitted key, one tombstone row per
+emitted key; rolling (restarting) funnels are ``sequence_funnel_stream``
+rounds. Batch-equivalence: with ``window`` ≥ the stream's span the
+emitted rows equal the batch funnel query exactly (the parity gate in
+tests).
 """
 
 from __future__ import annotations
@@ -100,6 +105,30 @@ _FUNNEL_STATE_SCHEMA = StructType(
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _EMPTY_OBJ = np.empty(0, dtype=object)
+
+
+def _pack(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    seq_col: str,
+    watermark_delay: timedelta,
+) -> DataFrame:
+    """Shared operator prelude: watermark + the (key, ts, seq, typ)
+    normalization + NULL-key filter. One definition so the three CEP
+    operators cannot drift apart on key-null policy or seq handling."""
+    wm = interval_str(watermark_delay)
+    return (
+        stream.withWatermark(ts_col, wm)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(type_col).cast("string").alias("typ"),
+        )
+        .filter(F.col("key").isNotNull())
+    )
 
 
 def _merge_batch(pdfs, us, seq, typ, timed_out):
@@ -223,18 +252,12 @@ def transitions_stream(
     when the later event is behind the watermark. ``seq_col`` breaks
     equal-timestamp ties (the reference's (ts, turn_idx) stable order);
     aggregate downstream for the transition matrix."""
-    wm = interval_str(watermark_delay)
     max_idle_us = (
         int(max_idle.total_seconds() * 1_000_000)
         if max_idle is not None
         else None
     )
-    packed = stream.withWatermark(ts_col, wm).select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).alias("ts"),
-        F.col(seq_col).cast("long").alias("seq"),
-        F.col(type_col).cast("string").alias("typ"),
-    ).filter(F.col("key").isNotNull())
+    packed = _pack(stream, key_col, type_col, ts_col, seq_col, watermark_delay)
     return packed.groupBy("key").applyInPandasWithState(
         _transitions_fn(max_idle_us),
         outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
@@ -244,6 +267,9 @@ def transitions_stream(
     )
 
 
+_FUNNEL_DONE = -1  # tombstone sentinel in the first_us state slot
+
+
 def _funnel_fn(first_type: str, then_type: str, window_us: int):
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -251,6 +277,19 @@ def _funnel_fn(first_type: str, then_type: str, window_us: int):
         (k,) = key
         if state.exists:
             s = state.get
+            if s[3] == _FUNNEL_DONE:
+                # TOMBSTONE: this key already emitted its one row. Drain
+                # and discard the batch — without this marker, events
+                # pending at emission time (or arriving after) would
+                # restart the funnel, making the output depend on how
+                # events were batched into triggers. One-shot semantics
+                # on an unbounded stream costs one tombstone row per
+                # emitted key, forever (state ∝ keys, the transitions
+                # bridge bound); rolling funnels are
+                # sequence_funnel_stream's job.
+                list(pdfs)
+                state.update(([], [], [], _FUNNEL_DONE, None))
+                return
             us = np.asarray(s[0], dtype=np.int64)
             seq = np.asarray(s[1], dtype=np.int64)
             typ = np.asarray(s[2], dtype=object)
@@ -305,7 +344,8 @@ def _funnel_fn(first_type: str, then_type: str, window_us: int):
                     ],
                 }
             )
-            state.remove()
+            # tombstone, never remove: see the state.exists branch
+            state.update(([], [], [], _FUNNEL_DONE, None))
         elif len(us) == 0 and first_us is None:
             state.remove()
         else:
@@ -461,14 +501,8 @@ def sequence_funnel_stream(
         raise ValueError("need at least one stage")
     if window <= timedelta(0):
         raise ValueError(f"window must be positive, got {window}")
-    wm = interval_str(watermark_delay)
     window_us = int(window.total_seconds() * 1_000_000)
-    packed = stream.withWatermark(ts_col, wm).select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).alias("ts"),
-        F.col(seq_col).cast("long").alias("seq"),
-        F.col(type_col).cast("string").alias("typ"),
-    ).filter(F.col("key").isNotNull())
+    packed = _pack(stream, key_col, type_col, ts_col, seq_col, watermark_delay)
     return packed.groupBy("key").applyInPandasWithState(
         _sequence_fn(tuple(stages), window_us),
         outputStructType=SEQUENCE_OUTPUT_SCHEMA,
@@ -496,14 +530,8 @@ def funnel_stream(
     never emit (they exit state as their tail finalizes)."""
     if window <= timedelta(0):
         raise ValueError(f"window must be positive, got {window}")
-    wm = interval_str(watermark_delay)
     window_us = int(window.total_seconds() * 1_000_000)
-    packed = stream.withWatermark(ts_col, wm).select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).alias("ts"),
-        F.col(seq_col).cast("long").alias("seq"),
-        F.col(type_col).cast("string").alias("typ"),
-    ).filter(F.col("key").isNotNull())
+    packed = _pack(stream, key_col, type_col, ts_col, seq_col, watermark_delay)
     return packed.groupBy("key").applyInPandasWithState(
         _funnel_fn(first_type, then_type, window_us),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

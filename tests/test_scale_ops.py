@@ -2074,3 +2074,29 @@ class TestPageRank:
             pagerank(df, n_iter=0)
         with pytest.raises(ValueError):
             pagerank(df, damping_pct=101)
+
+
+class TestReviewGuards:
+    """Review fixes: empty-input guards on pagerank and write_zordered."""
+
+    def test_pagerank_empty_graph(self, spark):
+        from real_time_sliding_window_spark.operators.graph import pagerank
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        out = pagerank(empty, n_iter=2)
+        assert out.count() == 0
+        assert out.columns == ["node", "rank_scaled"]
+
+    def test_zorder_validation(self, spark, tmp_path):
+        from real_time_sliding_window_spark.storage import write_zordered
+
+        df = spark.createDataFrame(pd.DataFrame({"x": [1], "y": [2]}))
+        with pytest.raises(ValueError, match="at least one column"):
+            write_zordered(df, str(tmp_path / "z1"), [])
+        with pytest.raises(ValueError, match="<= 63"):
+            write_zordered(
+                df, str(tmp_path / "z2"), ["x", "y"] * 4, bits=10
+            )
+        empty = spark.createDataFrame([], "x long, y long")
+        with pytest.raises(ValueError, match="empty input"):
+            write_zordered(empty, str(tmp_path / "z3"), ["x", "y"])

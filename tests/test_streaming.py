@@ -3031,3 +3031,49 @@ class TestIvfAnnIndex:
 
         with pytest.raises(ValueError):
             run_ivf_index(None, None, "x", [[0]], spill=0)
+
+
+class TestFunnelTombstone:
+    """Review fix: a key that emitted its funnel row must NEVER emit
+    again — even when new first_type events arrive afterwards — so the
+    output cannot depend on how events were batched into triggers."""
+
+    def test_no_restart_after_emission(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.cep import (
+            funnel_stream,
+        )
+
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        b1 = pd.DataFrame(
+            {"key": ["a", "zz"], "event_id": [0, 1],
+             "event_type": ["click", "view"],
+             "ts": [T0, T0 + 60 * SEC]}
+        )
+        # a second click for 'a' long after its window closed
+        b2 = pd.DataFrame(
+            {"key": ["a", "zz"], "event_id": [2, 3],
+             "event_type": ["click", "view"],
+             "ts": [T0 + 300 * SEC, T0 + 600 * SEC]}
+        )
+        feed = FileFeed(spark, str(tmp_path / "tomb_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "tomb_out"))
+        ckpt = str(tmp_path / "tomb_ckpt")
+
+        def run():
+            res = funnel_stream(
+                feed.stream(schema), "key", "event_type",
+                first_type="click", then_type="error",
+                window=timedelta(seconds=30),
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="cep-tomb")
+
+        feed.push(spark.createDataFrame(b1, schema=schema))
+        run()  # watermark 59s: a's window (30s) closed -> row emitted
+        got = sink.read_committed(spark).toPandas()
+        assert len(got[got.key == "a"]) == 1
+        feed.push(spark.createDataFrame(b2, schema=schema))
+        run()  # the new click must hit the tombstone, not restart
+        got = sink.read_committed(spark).toPandas()
+        assert len(got[got.key == "a"]) == 1
