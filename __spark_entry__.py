@@ -111,6 +111,24 @@ def q_session_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_events_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as `sliding_events`, computed by STREAM SLICING
+    (operators/windows.py::sliced_sliding_agg — per-slice partials
+    combined per window, the EDBT'19 general-stream-slicing / SIGMOD'05
+    panes plan): input rows enter the aggregation ONCE instead of
+    length/slide times. Shares `sliding_events`' oracle verbatim — the
+    point is a different physical plan for the identical answer; the
+    wall-clock gap vs the native operator is measured at overlap 60 in
+    BENCH/BASELINE.md."""
+    return W.sliced_sliding_agg(
+        _events(spark, sf_dir),
+        "ts",
+        timedelta(hours=1),
+        timedelta(minutes=15),
+        sum_exprs={"sum_value_cents": _cents()},
+    )
+
+
 VIEW_NOW = datetime(2024, 2, 1)
 VIEW_START = datetime(2024, 1, 10)
 
@@ -2651,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "pagerank_knn": q_pagerank_knn,
         "local_supplier_volume": q_local_supplier_volume,
+        "sliding_events_sliced": q_sliding_events_sliced,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -4214,4 +4233,7 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom prefilter has no false negatives, so the bloom-planned
     # decontamination is byte-identical to the exact one — SAME oracle
     out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
+    # same answer, different physical plan (stream slicing vs native
+    # window explode) — the oracle is shared verbatim
+    out["sliding_events_sliced"] = out["sliding_events"]
     return out

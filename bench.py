@@ -89,6 +89,7 @@ BATCH_QUERIES = [
     "join_size_estimate",
     "pagerank_knn",
     "local_supplier_volume",
+    "sliding_events_sliced",
     "value_deciles_events",
     "value_moments_events",
     "status_priority_counts",

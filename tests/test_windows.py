@@ -416,3 +416,54 @@ def test_ensure_parallelism_join_derived_frame(spark):
     # tiny corpus: AQE coalesces the join output to very few partitions
     out = ensure_parallelism(joined)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+class TestSlicedSliding:
+    """sliced_sliding_agg == windowed_agg (native window explode) at
+    several overlap ratios, plus the multiple-alignment contract."""
+
+    @pytest.mark.parametrize(
+        "length,slide",
+        [
+            (timedelta(hours=1), timedelta(minutes=15)),
+            (timedelta(minutes=50), timedelta(minutes=10)),
+            (timedelta(minutes=10), timedelta(minutes=10)),  # ratio 1
+        ],
+    )
+    def test_equals_native_operator(self, spark, length, slide):
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        cents = F.round(F.col("value") * 100).cast("long")
+        native = W.windowed_agg(
+            ev, "ts", length, slide=slide,
+            extra_aggs=[F.sum(cents).alias("sum_value_cents")],
+        )
+        sliced = W.sliced_sliding_agg(
+            ev, "ts", length, slide,
+            sum_exprs={"sum_value_cents": cents},
+        )
+        cols = sorted(native.columns)
+        assert sorted(sliced.columns) == cols
+        n = native.select(*cols)
+        s = sliced.select(*cols)
+        assert n.exceptAll(s).count() == 0 and s.exceptAll(n).count() == 0
+
+    def test_keys_and_validation(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        native = W.windowed_agg(
+            ev, "ts", timedelta(hours=2), slide=timedelta(minutes=30),
+            keys=["event_type"],
+        )
+        sliced = W.sliced_sliding_agg(
+            ev, "ts", timedelta(hours=2), timedelta(minutes=30),
+            keys=["event_type"],
+        )
+        cols = sorted(native.columns)
+        n = native.select(*cols)
+        s = sliced.select(*cols)
+        assert n.exceptAll(s).count() == 0 and s.exceptAll(n).count() == 0
+        with pytest.raises(ValueError, match="integer multiple"):
+            W.sliced_sliding_agg(
+                ev, "ts", timedelta(minutes=45), timedelta(minutes=10)
+            )
