@@ -306,3 +306,63 @@ def user_tool_stream_join(
         "tool_name",
         "tool_ts",
     )
+
+
+def sliced_sliding_stream(
+    stream: DataFrame,
+    ts_col: str,
+    length: timedelta,
+    slide: timedelta,
+    keys: Sequence[str] = (),
+    sum_exprs: dict[str, Column] | None = None,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.py::sliced_sliding_agg`` —
+    stream slicing via Spark 4's CHAINED stateful aggregations (the
+    multiple-stateful-operators capability, 3.4+): stage 1 aggregates
+    tumbling ``slide``-sized slices, stage 2 re-windows the slice struct
+    into the sliding windows and combines partials. Each input row
+    crosses the first (corpus-sized) shuffle ONCE; only slice partials —
+    corpus-size-independent — enter the overlap-factor explode, exactly
+    the batch operator's asymptotics but with both stages watermark-
+    driven and append-final. Same algebraic-aggregates restriction;
+    drained output equals the batch operator row-for-row (pytest gate).
+    """
+    len_us = round(length.total_seconds() * 1e6)
+    sl_us = round(slide.total_seconds() * 1e6)
+    if sl_us <= 0 or len_us % sl_us != 0:
+        raise ValueError(
+            f"length must be a positive integer multiple of slide "
+            f"(got {length} / {slide})"
+        )
+    sum_exprs = sum_exprs or {}
+    wm = stream.withWatermark(ts_col, watermark_delay)
+    slices = wm.groupBy(
+        F.window(ts_col, interval_str(slide)).alias("slice"),
+        *[F.col(k) for k in keys],
+    ).agg(
+        F.count(F.lit(1)).alias("__pn"),
+        F.min(ts_col).alias("__pfirst"),
+        F.max(ts_col).alias("__plast"),
+        *[F.sum(c).alias(f"__ps_{a}") for a, c in sum_exprs.items()],
+    )
+    wins = slices.groupBy(
+        F.window(
+            F.col("slice"), interval_str(length), interval_str(slide)
+        ).alias("window"),
+        *[F.col(k) for k in keys],
+    ).agg(
+        F.sum("__pn").alias("n_rows"),
+        F.min("__pfirst").alias("first_ts"),
+        F.max("__plast").alias("last_ts"),
+        *[F.sum(f"__ps_{a}").alias(a) for a in sum_exprs],
+    )
+    return wins.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        "n_rows",
+        "first_ts",
+        "last_ts",
+        *sum_exprs.keys(),
+    )

@@ -3077,3 +3077,76 @@ class TestFunnelTombstone:
         run()  # the new click must hit the tombstone, not restart
         got = sink.read_committed(spark).toPandas()
         assert len(got[got.key == "a"]) == 1
+
+
+class TestSlicedSlidingStream:
+    """pipeline.sliced_sliding_stream — chained stateful aggs: drained
+    output equals the batch native sliding operator row-for-row."""
+
+    def test_equals_batch_native(self, spark, tmp_path):
+        from real_time_sliding_window_spark.operators.windows import (
+            windowed_agg,
+        )
+        from real_time_sliding_window_spark.streaming.pipeline import (
+            sliced_sliding_stream,
+        )
+
+        rng = np.random.default_rng(83)
+        n = 2000
+        events = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 20, n),
+                "v": rng.integers(0, 100, n),
+                "ts": [T0 + int(s) * SEC for s in rng.integers(0, 7200, n)],
+            }
+        )
+        schema = "user_id long, v long, ts timestamp"
+        feed = FileFeed(spark, str(tmp_path / "sls_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "sls_out"))
+        ckpt = str(tmp_path / "sls_ckpt")
+        ev = events.sort_values("ts", kind="stable").reset_index(drop=True)
+        for idx in np.array_split(np.arange(n), 3):
+            feed.push(spark.createDataFrame(ev.iloc[idx], schema=schema))
+        closer = pd.DataFrame(
+            {"user_id": [99], "v": [0],
+             "ts": [T0 + timedelta(days=2)]}
+        )
+        feed.push(spark.createDataFrame(closer, schema=schema))
+
+        def run():
+            res = sliced_sliding_stream(
+                feed.stream(schema), "ts",
+                timedelta(minutes=60), timedelta(minutes=15),
+                sum_exprs={"sum_v": F.col("v")},
+                watermark_delay="1 second",
+            )
+            run_to_sink(res, sink, ckpt, query_name="sls")
+
+        run()
+        got = sink.read_committed(spark).toPandas()
+        batch = windowed_agg(
+            spark.createDataFrame(events, schema=schema),
+            "ts", timedelta(minutes=60), slide=timedelta(minutes=15),
+            extra_aggs=[F.sum("v").alias("sum_v")],
+        ).toPandas()
+        # drop the closer's windows from the batch side? the closer row
+        # is NOT in the batch input, and its own windows never finalize
+        # in the stream (watermark stops at its ts) — both sides cover
+        # exactly the 2000 real events
+        cols = ["window_start", "n_rows", "first_ts", "last_ts", "sum_v"]
+        g = got[cols].sort_values("window_start").reset_index(drop=True)
+        b = batch[cols].sort_values("window_start").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, b)
+
+    def test_validation(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.pipeline import (
+            sliced_sliding_stream,
+        )
+
+        feed = FileFeed(spark, str(tmp_path / "slsv_in"))
+        schema = "user_id long, v long, ts timestamp"
+        with pytest.raises(ValueError, match="integer multiple"):
+            sliced_sliding_stream(
+                feed.stream(schema), "ts",
+                timedelta(minutes=45), timedelta(minutes=10),
+            )
