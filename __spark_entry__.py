@@ -111,6 +111,63 @@ def q_session_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the category the suite hadn't pinned:
+    every transcript system carries a JSON side-channel — tool-call
+    args, annotations). `from_json` with an explicit schema parses the
+    `props` column JVM-side (whole-stage codegen, no Python); the
+    extracted integer aggregates per event_type are exact. At 100 TB
+    prefer parse-once-then-project over repeated get_json_object calls
+    (each re-parses the string; Catalyst's common-subexpression step
+    does not always collapse them across operators)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.from_json(
+            F.col("props"), "k BIGINT"
+        )["k"].alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_longest_runs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands analytics (the Kleene-run shape of event-trend
+    CEP, batch form): per (user, event_type), the LONGEST consecutive
+    run of that type in the user's stable (ts, event_id) order and the
+    number of maximal runs. Lowering: the classic two-row_number island
+    id (global position − per-type position is constant within a run) —
+    both windows share ONE Sort+Exchange on user_id; the islands agg
+    re-keys once."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", _us().alias("us"), "event_id"
+    )
+    w_all = SqlWindow.partitionBy("user_id").orderBy("us", "event_id")
+    w_typ = SqlWindow.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "island"
+        ),
+    )
+    runs = marked.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("longest_run"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+
+
 def q_sliding_events_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as `sliding_events`, computed by STREAM SLICING
     (operators/windows.py::sliced_sliding_agg — per-slice partials
@@ -2670,6 +2727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_knn": q_pagerank_knn,
         "local_supplier_volume": q_local_supplier_volume,
         "sliding_events_sliced": q_sliding_events_sliced,
+        "json_props_stats": q_json_props_stats,
+        "longest_runs_events": q_longest_runs_events,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -2769,6 +2828,44 @@ def oracle_sql() -> dict[str, str]:
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
         "pagerank_knn": _pagerank_oracle_sql(),
+        "json_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(k) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM (
+                SELECT event_type,
+                       json_extract_string(props, '$.k')::BIGINT AS k
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "longest_runs_events": """
+            WITH pos AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       )
+                       - row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS island
+                FROM events
+            ),
+            runs AS (
+                SELECT user_id, event_type, island,
+                       count(*) AS run_len
+                FROM pos GROUP BY user_id, event_type, island
+            )
+            SELECT user_id, event_type,
+                   max(run_len) AS longest_run,
+                   count(*) AS n_runs
+            FROM runs
+            GROUP BY user_id, event_type
+        """,
         "local_supplier_volume": """
             SELECT n.n_name,
                    CAST(sum(CAST(round(

@@ -94,6 +94,8 @@ BATCH_QUERIES = [
     "value_moments_events",
     "status_priority_counts",
     "promo_revenue_ratio",
+    "json_props_stats",
+    "longest_runs_events",
 ]
 
 
