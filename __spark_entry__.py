@@ -119,7 +119,13 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted integer aggregates per event_type are exact. At 100 TB
     prefer parse-once-then-project over repeated get_json_object calls
     (each re-parses the string; Catalyst's common-subexpression step
-    does not always collapse them across operators)."""
+    does not always collapse them across operators). Typed-extraction
+    contract, mirrored in the oracle: `k` counts only when it is
+    INTEGER-typed JSON — from_json's "k BIGINT" yields NULL for
+    string-typed ("5"), fractional (3.5), or missing k, so the oracle
+    gates on json_type ∈ (U)BIGINT rather than string-casting (a bare
+    ::BIGINT would COUNT a string-typed "5" and error on 3.5 —
+    cross-engine divergence waiting for the first unclean row)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.from_json(
@@ -141,8 +147,10 @@ def q_longest_runs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run of that type in the user's stable (ts, event_id) order and the
     number of maximal runs. Lowering: the classic two-row_number island
     id (global position − per-type position is constant within a run) —
-    both windows share ONE Sort+Exchange on user_id; the islands agg
-    re-keys once."""
+    ONE Exchange on user_id serves both windows, each with its own Sort
+    (their sort prefixes differ — (us,event_id) vs
+    (event_type,us,event_id) — so the sorts cannot merge; verified:
+    1 Exchange, 2 Sorts); the islands agg re-keys once."""
     from pyspark.sql.window import Window as SqlWindow
 
     ev = _events(spark, sf_dir).select(
@@ -2837,7 +2845,10 @@ def oracle_sql() -> dict[str, str]:
                    max(k) AS max_k
             FROM (
                 SELECT event_type,
-                       json_extract_string(props, '$.k')::BIGINT AS k
+                       CASE WHEN json_type(props, '$.k')
+                                 IN ('BIGINT', 'UBIGINT')
+                            THEN json_extract(props, '$.k')::BIGINT
+                       END AS k
                 FROM events
             )
             GROUP BY event_type

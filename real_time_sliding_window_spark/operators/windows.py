@@ -327,6 +327,22 @@ def ordered_turns(
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def slice_ratio(length: timedelta, slide: timedelta) -> tuple[int, int, int]:
+    """The slicing multiple-alignment contract, single-sourced for the
+    batch operator AND streaming/pipeline.sliced_sliding_stream (a
+    future two-level-slice relaxation must change both twins at once).
+    Returns (ratio, slide_us, length_us); raises unless length is a
+    positive integer multiple of slide."""
+    len_us = round(length.total_seconds() * 1e6)
+    sl_us = round(slide.total_seconds() * 1e6)
+    if sl_us <= 0 or len_us % sl_us != 0:
+        raise ValueError(
+            f"length must be a positive integer multiple of slide "
+            f"(got {length} / {slide})"
+        )
+    return len_us // sl_us, sl_us, len_us
+
+
 def sliced_sliding_agg(
     df: DataFrame,
     ts_col: str,
@@ -361,22 +377,14 @@ def sliced_sliding_agg(
     ``length`` must be an integer multiple of ``slide`` (the general
     non-multiple case needs Traub's two-level slice model — not needed
     by the reference's bucket semantics, which are multiple-aligned)."""
-    len_us = round(length.total_seconds() * 1e6)
-    sl_us = round(slide.total_seconds() * 1e6)
-    if sl_us <= 0 or len_us % sl_us != 0:
-        raise ValueError(
-            f"length must be a positive integer multiple of slide "
-            f"(got {length} / {slide})"
-        )
-    ratio = len_us // sl_us
+    ratio, sl_us, len_us = slice_ratio(length, slide)
     sum_exprs = sum_exprs or {}
     slice_win = F.window(ts_col, interval_str(slide))
     partial = df.groupBy(slice_win.alias("slice"), *keys).agg(
         F.count(F.lit(1)).alias("__pn"),
         F.min(ts_col).alias("__pfirst"),
         F.max(ts_col).alias("__plast"),
-        *[c.alias(f"__ps_{a}") for a, c in
-          [(a, F.sum(c)) for a, c in sum_exprs.items()]],
+        *[F.sum(c).alias(f"__ps_{a}") for a, c in sum_exprs.items()],
     )
     k = F.explode(F.sequence(F.lit(0), F.lit(int(ratio - 1)))).alias("__k")
     exploded = partial.select("*", k).select(

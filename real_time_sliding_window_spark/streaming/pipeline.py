@@ -328,13 +328,9 @@ def sliced_sliding_stream(
     driven and append-final. Same algebraic-aggregates restriction;
     drained output equals the batch operator row-for-row (pytest gate).
     """
-    len_us = round(length.total_seconds() * 1e6)
-    sl_us = round(slide.total_seconds() * 1e6)
-    if sl_us <= 0 or len_us % sl_us != 0:
-        raise ValueError(
-            f"length must be a positive integer multiple of slide "
-            f"(got {length} / {slide})"
-        )
+    from real_time_sliding_window_spark.operators.windows import slice_ratio
+
+    slice_ratio(length, slide)  # shared multiple-alignment contract
     sum_exprs = sum_exprs or {}
     wm = stream.withWatermark(ts_col, watermark_delay)
     slices = wm.groupBy(
