@@ -2424,6 +2424,84 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape market share: per order-year 1995–1996, the share
+    of ASIA-customer revenue supplied by CHINA suppliers, as exact
+    integer ppm (numerator/denominator ride along — the Q14 integer
+    ratio doctrine). Distinct plan features vs Q5/Q7: a share-of-total
+    conditional aggregate per group, and the supplier NATION becomes a
+    broadcast-joined attribute tested INSIDE the aggregate (CASE), not
+    a filter — every ASIA sale contributes to the denominator. Year
+    extraction is integer on both engines."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("ank"))
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("ank"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("o_year"),
+        )
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    china = nation.filter(F.col("n_name") == "CHINA").select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(china),
+            F.col("s_nationkey") == F.col("cnk"),
+            "left",
+        )
+        .select(
+            "s_suppkey",
+            F.col("cnk").isNotNull().alias("is_china"),
+        )
+    )
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("is_china"), F.col("rev_cents")).otherwise(0)).alias(
+            "china_cents"
+        ),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "china_cents",
+        "total_cents",
+        F.expr("china_cents * 1000000L DIV total_cents").alias("share_ppm"),
+    )
+
+
 _PR_ITER, _PR_DAMP, _PR_SCALE = 3, 85, 10**9
 
 
@@ -2737,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_events_sliced": q_sliding_events_sliced,
         "json_props_stats": q_json_props_stats,
         "longest_runs_events": q_longest_runs_events,
+        "market_share_events": q_market_share_events,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -2836,6 +2915,35 @@ def oracle_sql() -> dict[str, str]:
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
         "pagerank_knn": _pagerank_oracle_sql(),
+        "market_share_events": """
+            WITH agg AS (
+                SELECT extract(year FROM o.o_orderdate) AS o_year,
+                       CAST(sum(CASE WHEN sn.n_name = 'CHINA'
+                           THEN CAST(round(
+                               l.l_extendedprice * (1 - l.l_discount) * 100
+                           ) AS BIGINT) ELSE 0 END) AS BIGINT)
+                           AS china_cents,
+                       CAST(sum(CAST(round(
+                           l.l_extendedprice * (1 - l.l_discount) * 100
+                       ) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1
+            )
+            SELECT CAST(o_year AS INTEGER) AS o_year,
+                   china_cents, total_cents,
+                   CAST(china_cents * 1000000 // total_cents AS BIGINT)
+                       AS share_ppm
+            FROM agg
+        """,
         "json_props_stats": """
             SELECT event_type,
                    count(*) AS n_rows,

@@ -96,6 +96,7 @@ BATCH_QUERIES = [
     "promo_revenue_ratio",
     "json_props_stats",
     "longest_runs_events",
+    "market_share_events",
 ]
 
 
