@@ -539,3 +539,158 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+RUNS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("run_type", StringType(), False),
+        StructField("run_len", LongType(), False),
+        StructField("start_us", LongType(), False),
+        StructField("end_us", LongType(), False),
+    ]
+)
+
+_RUNS_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType()), True),
+        StructField("seq", ArrayType(LongType()), True),
+        StructField("typ", ArrayType(StringType()), True),
+        StructField("run_typ", StringType(), True),
+        StructField("run_len", LongType(), True),
+        StructField("run_start", LongType(), True),
+        StructField("run_last", LongType(), True),
+    ]
+)
+
+
+def _runs_fn(max_idle_us: int | None):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            s = state.get
+            us = np.asarray(s[0], dtype=np.int64)
+            seq = np.asarray(s[1], dtype=np.int64)
+            typ = np.asarray(s[2], dtype=object)
+            run = (
+                [s[3], int(s[4]), int(s[5]), int(s[6])]
+                if s[3] is not None
+                else None
+            )
+        else:
+            us, seq, typ = _EMPTY_I64, _EMPTY_I64, _EMPTY_OBJ
+            run = None
+
+        us, seq, typ = _merge_batch(pdfs, us, seq, typ, state.hasTimedOut)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = np.lexsort((seq, us))
+        us, seq, typ = us[order], seq[order], typ[order]
+        final = us < wm_us
+        closed: list[list] = []
+        if final.any():
+            for u, t in zip(us[final], typ[final]):
+                u = int(u)
+                if run is not None and (
+                    t != run[0]
+                    or (
+                        max_idle_us is not None
+                        and u - run[3] > max_idle_us
+                    )
+                ):
+                    closed.append(run)
+                    run = None
+                if run is None:
+                    run = [t, 1, u, u]
+                else:
+                    run[1] += 1
+                    run[3] = u
+            us, seq, typ = us[~final], seq[~final], typ[~final]
+
+        # idle rule closes the OPEN run by watermark too — by event
+        # time (gap from the run's last event), never arrival batching
+        if (
+            run is not None
+            and max_idle_us is not None
+            and wm_us - run[3] > max_idle_us
+        ):
+            closed.append(run)
+            run = None
+
+        out = None
+        if closed:
+            out = pd.DataFrame(
+                {
+                    "key": k,
+                    "run_type": [r[0] for r in closed],
+                    "run_len": [r[1] for r in closed],
+                    "start_us": [r[2] for r in closed],
+                    "end_us": [r[3] for r in closed],
+                }
+            )
+
+        if len(us) == 0 and run is None:
+            state.remove()
+        else:
+            state.update(
+                (
+                    us.tolist(), seq.tolist(), typ.tolist(),
+                    run[0] if run else None,
+                    run[1] if run else None,
+                    run[2] if run else None,
+                    run[3] if run else None,
+                )
+            )
+            wakes = []
+            if len(us):
+                wakes.append(int(us.min()) // 1000 + 1)
+            if run is not None and max_idle_us is not None:
+                wakes.append((run[3] + max_idle_us) // 1000 + 1)
+            if wakes:
+                state.setTimeoutTimestamp(
+                    max(min(wakes), state.getCurrentWatermarkMs() + 1)
+                )
+
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def runs_stream(
+    stream: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    watermark_delay: timedelta = timedelta(seconds=30),
+    max_idle: timedelta | None = None,
+) -> DataFrame:
+    """Maximal-run (Kleene A+) emission — the streaming twin of the
+    batch gaps-and-islands query (`q_longest_runs_events`): one row per
+    MAXIMAL same-type run per key, emitted exactly once when a
+    different-type event finalizes after it (the run provably cannot
+    extend — any further same-type event would sit behind the breaker
+    in the stable order). ``max_idle`` additionally splits runs at
+    event-time gaps larger than it AND closes idle open runs by
+    watermark — gap rules are always event-time, never arrival batching
+    (the transitions doctrine). The LAST run of a key without
+    ``max_idle`` never closes (no terminator can arrive-proof it); so
+    drained output == batch islands minus each key's open tail run —
+    the exact relation the parity test pins. State per key: the open
+    run's 4 scalars + the watermark tail."""
+    max_idle_us = (
+        int(max_idle.total_seconds() * 1_000_000)
+        if max_idle is not None
+        else None
+    )
+    packed = _pack(stream, key_col, type_col, ts_col, seq_col, watermark_delay)
+    return packed.groupBy("key").applyInPandasWithState(
+        _runs_fn(max_idle_us),
+        outputStructType=RUNS_OUTPUT_SCHEMA,
+        stateStructType=_RUNS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

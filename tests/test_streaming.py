@@ -3150,3 +3150,113 @@ class TestSlicedSlidingStream:
                 feed.stream(schema), "ts",
                 timedelta(minutes=45), timedelta(minutes=10),
             )
+
+
+class TestRunsStream:
+    """streaming/cep.py::runs_stream — closed runs equal the batch
+    islands computation minus each key's open tail run."""
+
+    def test_matches_batch_islands_randomized(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.cep import runs_stream
+
+        rng = np.random.default_rng(97)
+        n = 300
+        events = pd.DataFrame(
+            {
+                "key": [f"k{rng.integers(8)}" for _ in range(n)],
+                "event_id": range(n),
+                "event_type": rng.choice(["a", "b"], size=n, p=[0.7, 0.3]),
+                "ts": [T0 + int(s) * SEC for s in rng.integers(0, 120, n)],
+            }
+        )
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        feed = FileFeed(spark, str(tmp_path / "rs_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "rs_out"))
+        ckpt = str(tmp_path / "rs_ckpt")
+        ev = events.sort_values("ts", kind="stable").reset_index(drop=True)
+        for idx in np.array_split(np.arange(n), 3):
+            feed.push(spark.createDataFrame(
+                ev.iloc[idx].sample(frac=1.0, random_state=3), schema=schema
+            ))
+        feed.push(spark.createDataFrame(
+            pd.DataFrame({"key": ["zz"], "event_id": [10**6],
+                          "event_type": ["a"],
+                          "ts": [T0 + 10_000 * SEC]}),
+            schema=schema,
+        ))
+
+        def run():
+            res = runs_stream(
+                feed.stream(schema), "key", "event_type",
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+            )
+            run_to_sink(res, sink, ckpt, query_name="runs")
+
+        run()
+        got = sink.read_committed(spark).toPandas()
+        got = got[got.key != "zz"]
+
+        # batch islands reference (pandas): maximal runs per key in
+        # (ts, event_id) order; the stream emits all but the tail run
+        exp_closed = []
+        us = events.ts.map(lambda t: int(pd.Timestamp(t).value // 1000))
+        static = events.assign(us=us).sort_values(
+            ["key", "us", "event_id"], kind="stable"
+        )
+        for k, g in static.groupby("key"):
+            runs = []
+            cur = None
+            for _, row in g.iterrows():
+                if cur is not None and row.event_type == cur[0]:
+                    cur[1] += 1
+                    cur[3] = row.us
+                else:
+                    if cur is not None:
+                        runs.append(cur)
+                    cur = [row.event_type, 1, row.us, row.us]
+            runs.append(cur)
+            for r in runs[:-1]:  # tail run stays open in the stream
+                exp_closed.append((k, r[0], r[1], r[2], r[3]))
+        key = ["key", "run_type", "run_len", "start_us", "end_us"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        e = pd.DataFrame(exp_closed, columns=key).sort_values(
+            key
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e)
+
+    def test_max_idle_splits_and_closes(self, spark, tmp_path):
+        from real_time_sliding_window_spark.streaming.cep import runs_stream
+
+        schema = "key string, event_id long, event_type string, ts timestamp"
+        rows = pd.DataFrame(
+            {
+                "key": ["a"] * 3 + ["zz"],
+                "event_id": range(4),
+                "event_type": ["x", "x", "x", "x"],
+                # gap of 200 s inside an all-x run -> split at the gap
+                "ts": [T0, T0 + 5 * SEC, T0 + 205 * SEC,
+                       T0 + 1000 * SEC],
+            }
+        )
+        feed = FileFeed(spark, str(tmp_path / "ri_in"))
+        sink = ExactlyOnceParquetSink(str(tmp_path / "ri_out"))
+        ckpt = str(tmp_path / "ri_ckpt")
+
+        def run():
+            res = runs_stream(
+                feed.stream(schema), "key", "event_type",
+                seq_col="event_id",
+                watermark_delay=timedelta(seconds=1),
+                max_idle=timedelta(seconds=60),
+            )
+            run_to_sink(res, sink, ckpt, query_name="runs-idle")
+
+        feed.push(spark.createDataFrame(rows, schema=schema))
+        run()
+        got = sink.read_committed(spark).toPandas()
+        a = got[got.key == "a"].sort_values("start_us")
+        # the 200 s gap split the run; the idle rule also closed the
+        # second run (wm 999 s >> 205+60)
+        assert list(a.run_len) == [2, 1]
+        assert list(a.end_us)[0] < list(a.start_us)[1]
