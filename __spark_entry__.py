@@ -2428,7 +2428,9 @@ def q_market_share_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shape market share: per order-year 1995–1996, the share
     of ASIA-customer revenue supplied by CHINA suppliers, as exact
     integer ppm (numerator/denominator ride along — the Q14 integer
-    ratio doctrine). Distinct plan features vs Q5/Q7: a share-of-total
+    ratio doctrine; the ×10^6 runs through DECIMAL(38,0)/HUGEINT so the
+    form survives scale factors where year-level revenue cents × 10^6
+    would overflow int64, ~sf75). Distinct plan features vs Q5/Q7: a share-of-total
     conditional aggregate per group, and the supplier NATION becomes a
     broadcast-joined attribute tested INSIDE the aggregate (CASE), not
     a filter — every ASIA sale contributes to the denominator. Year
@@ -2498,7 +2500,10 @@ def q_market_share_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "china_cents",
         "total_cents",
-        F.expr("china_cents * 1000000L DIV total_cents").alias("share_ppm"),
+        F.expr(
+            "CAST((CAST(china_cents AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_cents AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -2749,9 +2754,10 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shape ratio aggregate: the share of 1996-03 revenue
     from PROMO parts. The ratio is emitted as exact integers —
     numerator, denominator, and parts-per-million via integer division
-    — because a float percentage hashes differently per summation
-    order. Plan: month filter pushed to the lineitem scan, part dim
-    broadcast, one conditional agg."""
+    through a DECIMAL(38,0)/HUGEINT intermediate (overflow-free at any
+    realistic SF) — because a float percentage hashes differently per
+    summation order. Plan: month filter pushed to the lineitem scan,
+    part dim broadcast, one conditional agg."""
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .filter(
@@ -2780,7 +2786,10 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "promo_cents",
         "total_cents",
-        F.expr("promo_cents * 1000000L DIV total_cents").alias("promo_ppm"),
+        F.expr(
+            "CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_cents AS BIGINT)"
+        ).alias("promo_ppm"),
     )
 
 
@@ -2940,7 +2949,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(o_year AS INTEGER) AS o_year,
                    china_cents, total_cents,
-                   CAST(china_cents * 1000000 // total_cents AS BIGINT)
+                   CAST(china_cents::HUGEINT * 1000000 // total_cents AS BIGINT)
                        AS share_ppm
             FROM agg
         """,
@@ -3065,7 +3074,7 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_shipdate < TIMESTAMP '1996-04-01'
             )
             SELECT promo_cents, total_cents,
-                   CAST(promo_cents * 1000000 // total_cents AS BIGINT)
+                   CAST(promo_cents::HUGEINT * 1000000 // total_cents AS BIGINT)
                        AS promo_ppm
             FROM agg
         """,

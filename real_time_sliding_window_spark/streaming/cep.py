@@ -1,5 +1,8 @@
 """Streaming CEP (complex-event-processing) operators — watermark-final
-transition pairs and a conversion-window funnel (r5).
+transition pairs, conversion-window funnels (2-stage and N-stage
+rounds), and maximal-run (Kleene A+) emission via ``runs_stream``, whose
+islands-minus-open-tail relation to the batch query is stated in its
+docstring (r5).
 
 The batch entry queries ``event_transitions`` and ``funnel_click_error``
 answer turn-taking questions AFTER the fact; these are their streaming
@@ -116,8 +119,9 @@ def _pack(
     watermark_delay: timedelta,
 ) -> DataFrame:
     """Shared operator prelude: watermark + the (key, ts, seq, typ)
-    normalization + NULL-key filter. One definition so the three CEP
-    operators cannot drift apart on key-null policy or seq handling."""
+    normalization + NULL-key filter. One definition so the four CEP
+    operators (transitions, funnel, sequence funnel, runs) cannot drift
+    apart on key-null policy or seq handling."""
     wm = interval_str(watermark_delay)
     return (
         stream.withWatermark(ts_col, wm)
