@@ -2424,6 +2424,36 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape: the single-table multi-predicate scan-agg —
+    potential revenue from 1996 small-quantity, mid-discount lineitems.
+    The point is the SCAN: all three predicates (date range, discount
+    band, quantity cap) push into the parquet reader, so row-group
+    stats prune before a single row reaches the one-row aggregate.
+    Discount is data-generated at 2 decimals; comparing on exact
+    integer basis points (round ×100) keeps the band edges knife-free
+    on both engines. Completes the TPC-H shape set: every query
+    expressible without partsupp (1,3-8,10,12-15,17-22) now has a
+    driver twin."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(disc_bp.between(5, 7))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("long")
+            ).alias("revenue_increase_cents"),
+        )
+    )
+
+
 def q_market_share_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shape market share: per order-year 1995–1996, the share
     of ASIA-customer revenue supplied by CHINA suppliers, as exact
@@ -2825,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "longest_runs_events": q_longest_runs_events,
         "market_share_events": q_market_share_events,
+        "forecast_revenue_change": q_forecast_revenue_change,
         "value_deciles_events": q_value_deciles_events,
         "value_moments_events": q_value_moments_events,
         "status_priority_counts": q_status_priority_counts,
@@ -2924,6 +2955,17 @@ def oracle_sql() -> dict[str, str]:
         "cm_freq_docs": _cm_oracle_sql(),
         "join_size_estimate": _join_size_oracle_sql(),
         "pagerank_knn": _pagerank_oracle_sql(),
+        "forecast_revenue_change": """
+            SELECT count(*) AS n_items,
+                   CAST(sum(CAST(round(
+                       l_extendedprice * l_discount * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_increase_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        """,
         "market_share_events": """
             WITH agg AS (
                 SELECT extract(year FROM o.o_orderdate) AS o_year,

@@ -97,6 +97,7 @@ BATCH_QUERIES = [
     "json_props_stats",
     "longest_runs_events",
     "market_share_events",
+    "forecast_revenue_change",
 ]
 
 
