@@ -2298,16 +2298,27 @@ def q_cm_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_sketch,
     )
 
+    # r6: one tokenize+count pass feeds BOTH the sketch and the truth.
+    # The per-token md5 fan-out runs over the (Heaps-bounded) vocabulary
+    # instead of every token instance — 4×|tokens| md5 → 4×|vocab| — and
+    # the vocab-sized checkpoint stops the regex/explode pass running
+    # once per consumer. Sketch and truth values are unchanged: buckets
+    # depend only on the token, and Σ weights distributes over cells.
     toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("tok"))
-    sk = cm_sketch(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    sk = cm_sketch(
+        counts, "tok", depth=_CM_DEPTH, width=_CM_WIDTH, weight_col="__w"
+    )
     probes = spark.createDataFrame(
         [(w,) for w in _CM_PROBES], "tok string"
     )
     est = cm_estimate(sk, probes, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
-    truth = (
-        toks.join(F.broadcast(probes), "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("true_count"))
+    truth = counts.join(F.broadcast(probes), "tok").select(
+        "tok", F.col("__w").alias("true_count")
     )
     return (
         est.join(F.broadcast(truth), "tok", "left")

@@ -63,6 +63,7 @@ def cm_sketch(
     depth: int = 4,
     width: int = 1024,
     weight_col: str | None = None,
+    pre_agg: bool = False,
 ) -> DataFrame:
     """Build the sketch: ``(r, c, cnt)`` rows, one per NON-EMPTY matrix
     cell (absent cell ≡ 0 — ``cm_estimate`` coalesces). ``weight_col``
@@ -87,6 +88,17 @@ def cm_sketch(
     rows = df.select(
         F.col(key_col).cast("string").alias("__k"), w.alias("__w")
     )
+    if pre_agg:
+        # Collapse to one row per DISTINCT key before the depth-way md5
+        # fan-out (r6, guide §2.3 "aggregate before you shuffle"): for
+        # Zipf-ish keys (corpus tokens) this cuts the md5/conv work from
+        # depth×rows to depth×vocab. The sketch is identical — the bucket
+        # depends only on the key, and Σ per-key weights distributes over
+        # the (r, c) sum. Costs one extra key-grouped shuffle (map-side
+        # partials bound it at distinct-keys-per-task), so it is opt-in:
+        # near-unique keys (join-size orderkeys) keep the default
+        # shuffle-free path whose only exchange is sketch-sized.
+        rows = rows.groupBy("__k").agg(F.sum("__w").alias("__w"))
     pairs = rows.select(
         F.posexplode(
             F.array(*[_bucket("__k", r, width) for r in range(depth)])

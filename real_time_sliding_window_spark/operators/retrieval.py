@@ -152,7 +152,12 @@ def tfidf_topk(
     ≈ 1000/df — negligible; cutting it bounds the join fan-out per query
     term at max_df rows. Mirrored in the driver oracle when set.
     """
-    post = postings(df, id_col, text_col)
+    # Materialize the postings once (r6): scoring references them from
+    # several branches (df counts, the weighted join) and tokenize+count
+    # would otherwise re-run per un-reused branch. Postings are the thing
+    # production persists anyway (module docstring); at 100 TB this
+    # barrier is the bucketed postings table, not an in-memory checkpoint.
+    post = postings(df, id_col, text_col).localCheckpoint(eager=True)
     n_docs = df.select(id_col).distinct().count()
     return score_postings(post, n_docs, queries, k=k, max_df=max_df)
 
@@ -278,6 +283,10 @@ def bm25_topk(
     entry: tokenizes the corpus, then scores the postings — see
     ``bm25_score_postings`` for the arithmetic and the incremental-index
     contract)."""
+    # Same materialize-once barrier as tfidf_topk (r6): bm25 scoring reads
+    # the postings from FOUR branches (the doclen collect is a separate
+    # action), so an un-materialized tokenize+count pass would run ≥2×.
     return bm25_score_postings(
-        postings(df, id_col, text_col), queries, k=k, max_df=max_df
+        postings(df, id_col, text_col).localCheckpoint(eager=True),
+        queries, k=k, max_df=max_df,
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
 from real_time_sliding_window_spark.functions import columns as C
@@ -46,17 +47,23 @@ def cosine_topk(
     (cosine desc, neighbor_id) — fully deterministic.
     """
     q = _quantized(emb, id_col, vec_col)
-    queries = q.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    # r6 (guide §4.2): the query set is a handful of vectors — collect it
+    # as driver-side constants (the kmeans-centroid doctrine; never data
+    # rows) and score the corpus in ONE numpy pass per batch instead of a
+    # crossJoin evaluating an interpreted zip_with/aggregate dot per pair.
+    # The cosine is the same exact IEEE sequence as the JVM expression:
+    # double(int64 dot) / (sqrt(double Σq²) · sqrt(double Σv²)).
+    qrows = q.filter(F.col("vec_id").isin(list(query_ids))).collect()
+    part_schema = StructType(
+        [
+            StructField("query_id", q.schema["vec_id"].dataType),
+            StructField("neighbor_id", q.schema["vec_id"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    pairs = F.broadcast(queries).crossJoin(q).filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = C.int_dot("q_qv", "qv").cast("double") / (
-        C.int_norm("q_qv") * C.int_norm("qv")
-    )
-    scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    scored = q.mapInPandas(
+        _score_against_queries_fn([(r.vec_id, list(r.qv)) for r in qrows]),
+        part_schema,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -65,6 +72,42 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _score_against_queries_fn(queries: list):
+    """mapInPandas body for ``cosine_topk`` (r6): score every corpus batch
+    against the constant query matrix with one exact int64 matmul, emitting
+    (query_id, neighbor_id, cosine) rows for every non-self pair. Cosine is
+    bit-identical to the JVM expression (see _bucket_topk_fn)."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [qid for qid, _ in queries]
+    qmat = np.asarray([qv for _, qv in queries], dtype=np.int64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+
+    def f(it):
+        for pdf in it:
+            if not len(pdf) or not len(qids):
+                continue
+            mat = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+            vid = pdf["vec_id"].to_numpy()
+            dots = qmat @ mat.T
+            vnorm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / np.outer(qnorm, vnorm)
+            nq, nv = cos.shape
+            qcol = np.repeat(np.asarray(qids), nv)
+            vcol = np.tile(vid, nq)
+            keep = qcol != vcol
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": vcol[keep],
+                    "cosine": cos.ravel()[keep],
+                }
+            )
+
+    return f
 
 
 def ivf_topk(
@@ -163,6 +206,45 @@ def _assign_udf(centroids, n_probe: int = 1):
     return pandas_udf(probe, "array<int>")
 
 
+def _round_partials_fn(centroids):
+    """One Lloyd's-round mapInPandas body (r6): nearest-centroid assignment
+    (same exact int64 −2·v·c + |c|² argmin and lowest-cid tie rule as
+    ``_assign_udf``) plus per-partition int64 scatter-add partials, so each
+    task ships at most k×d (cid, pos, s, c) rows instead of the corpus
+    exploded k·d-ways. Summing partials is exact integer addition — the
+    global (s, c) totals equal the pre-r6 posexplode aggregate's."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    kk, d = cmat.shape
+
+    def f(it):
+        sums = np.zeros((kk, d), dtype=np.int64)
+        cnts = np.zeros(kk, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+            scores = mat @ (-2 * cmat.T) + cnorm[None, :]
+            cid = scores.argmin(axis=1)
+            np.add.at(sums, cid, mat)
+            cnts += np.bincount(cid, minlength=kk)
+        nz = np.flatnonzero(cnts)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(nz, d).astype(np.int32),
+                    "pos": np.tile(np.arange(d), len(nz)).astype(np.int32),
+                    "s": sums[nz].ravel(),
+                    "c": np.repeat(cnts[nz], d),
+                }
+            )
+
+    return f
+
+
 def _kmeans_rounds(q: DataFrame, n_centroids: int, n_iter: int,
                    require_convergence: bool) -> list[list[int]]:
     """Lloyd's iteration over a materialized quantized-vector DataFrame.
@@ -181,11 +263,19 @@ def _kmeans_rounds(q: DataFrame, n_centroids: int, n_iter: int,
     )
     cents = [list(r.qv) for r in seeds]
     for _ in range(n_iter):
-        assigned = q.withColumn("cid", _assign_udf(cents)("qv"))
+        # r6: one mapInPandas pass fuses assignment + per-partition partial
+        # (cid, dim) sums (guide §2.3 "aggregate before you shuffle" at the
+        # Python boundary): the round used to round-trip the corpus through
+        # ArrowEvalPython and then posexplode k·d·n rows into the aggregate;
+        # now each task emits at most k×d partial rows and the shuffle is
+        # centroid-sized. Exact int64 scatter-adds — totals are identical,
+        # and argmin keeps the same lowest-cid tie rule as _assign_udf.
         rows = (
-            assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+            q.mapInPandas(
+                _round_partials_fn(cents), "cid int, pos int, s long, c long"
+            )
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .select(
                 "cid",
                 "pos",
@@ -380,6 +470,52 @@ def recall_at_k(
     )
 
 
+def _bucket_topk_fn(k: int):
+    """Cogrouped per-bucket scorer for ``knn_graph`` (r6): one exact int64
+    numpy matmul per bucket, then each probe row's top-k candidates by
+    (cosine desc, dst asc). Cosine is bit-identical to the JVM expression
+    ``cast(int_dot as double) / (sqrt(double Σa²) · sqrt(double Σb²))`` —
+    integer matmul is exact and the float64 ops are the same IEEE
+    correctly-rounded sequence. Assumes non-NaN cosines (zero-norm vectors
+    would produce NaN, which numpy and Spark order differently in desc)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"src": [], "dst": [], "cosine": []})
+
+    def fn(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(left_pdf) or not len(right_pdf):
+            return empty
+        L = np.stack(left_pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+        R = np.stack(right_pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+        lid = left_pdf["vec_id"].to_numpy()
+        rid = right_pdf["vec_id"].to_numpy()
+        if lid.dtype == object:  # string ids: numpy-sortable unicode
+            lid = lid.astype(str)
+            rid = rid.astype(str)
+        dots = L @ R.T
+        nl = np.sqrt((L * L).sum(axis=1).astype(np.float64))
+        nr = np.sqrt((R * R).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots.astype(np.float64) / np.outer(nl, nr)
+        eq = lid[:, None] == rid[None, :]
+        neg = -cos
+        neg[eq] = np.inf  # self pairs sort last, dropped below
+        kk = min(k, cos.shape[1])
+        dmat = np.broadcast_to(rid[None, :], cos.shape)
+        order = np.lexsort((dmat, neg), axis=-1)[:, :kk]
+        valid = ~np.take_along_axis(eq, order, axis=1).ravel()
+        return pd.DataFrame(
+            {
+                "src": np.repeat(lid, kk)[valid],
+                "dst": rid[order].ravel()[valid],
+                "cosine": np.take_along_axis(cos, order, axis=1).ravel()[valid],
+            }
+        )
+
+    return fn
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = 3,
@@ -431,26 +567,37 @@ def knn_graph(
         left = b.select(
             "vec_id", "qv", F.explode(F.array(*probes)).alias("bucket")
         )
-    pairs = (
-        left.alias("a")
-        .join(
-            right.alias("b"),
-            on=[
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vec_id") != F.col("b.vec_id"),
-            ],
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            (
-                C.int_dot("a.qv", "b.qv").cast("double")
-                / (C.int_norm("a.qv") * C.int_norm("b.qv"))
-            ).alias("cosine"),
-        )
+    # r6 scoring plan (guide §4.2 + §8): the bucket equi-join used to emit
+    # every candidate pair through an INTERPRETED zip_with/aggregate cosine
+    # and then window-rank the full candidate set ((n_planes+1)·n·occupancy
+    # rows). Instead, cogroup both sides by bucket and score each bucket as
+    # one numpy int64 matmul (exact — same double(dot)/(sqrt·sqrt) IEEE ops
+    # as the JVM expression), emitting only each probe row's per-bucket
+    # top-k by (cosine desc, dst asc). Global top-k over per-bucket top-ks
+    # is exactly the top-k over all candidates (the order is total — dst
+    # unique per src within a bucket, and a (src, dst) pair meets in
+    # exactly one bucket: the dst's home bucket), so the final window sees
+    # (n_planes+1)·k rows per vector instead of the full candidate volume.
+    # Skew note: one hot bucket = one cogroup task; that is what
+    # ``max_bucket`` (and raising n_planes ∝ log2 n) bounds at scale.
+    part_schema = StructType(
+        [
+            StructField("src", q.schema["vec_id"].dataType),
+            StructField("dst", q.schema["vec_id"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    # toDF re-aliases every column (fresh expression ids) so the cogroup's
+    # two branches — both derived from the same quantized frame — don't
+    # trip the ambiguous-self-join analyzer check
+    right = right.select("vec_id", "qv", "bucket").toDF("vec_id", "qv", "bucket")
+    scored = (
+        left.groupBy("bucket")
+        .cogroup(right.groupBy("bucket"))
+        .applyInPandas(_bucket_topk_fn(k), part_schema)
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
-    edges = pairs.withColumn("rank", F.row_number().over(w)).filter(
+    edges = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
     if mutual:

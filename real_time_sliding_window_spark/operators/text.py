@@ -350,7 +350,13 @@ def remove_boilerplate(
     incremental df index — for the in-plan df computation; ``min_df`` is
     then ignored.
     """
-    base = _segment_frame(df, id_col, text_col, width)
+    # materialize the segment pass once (r6): `base` feeds the exploded
+    # occurrence table AND the final id-universe join, and `exploded` is
+    # itself read by both the df count and the anti-join — without the
+    # barrier the interpreted segment transform runs per reference.
+    base = _segment_frame(df, id_col, text_col, width).localCheckpoint(
+        eager=True
+    )
     exploded = base.select(
         "__id", "n_segs", F.posexplode("__segs").alias("ord", "seg")
     )
