@@ -977,12 +977,20 @@ def q_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", "l_partkey",
         F.round("l_quantity").cast("long").alias("qty"),
     )
+    # r6 (guide §2.4): the per-part total is the SUM of the per-(supplier,
+    # part) sums, so derive it with a window over the first aggregate
+    # instead of a second lineitem scan + join — one scan, one extra
+    # exchange on l_partkey, exact integer sums either way.
+    from pyspark.sql.window import Window as SqlWindow
+
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("qty").alias("sq_sp")
     )
-    p = li.groupBy("l_partkey").agg(F.sum("qty").alias("sq_p"))
     bulk = (
-        sp.join(p, "l_partkey")
+        sp.withColumn(
+            "sq_p",
+            F.sum("sq_sp").over(SqlWindow.partitionBy("l_partkey")),
+        )
         .filter(F.col("sq_sp") * 100 > F.col("sq_p") * 15)
         .select("l_suppkey")
         .distinct()

@@ -263,21 +263,34 @@ def ngram_jaccard_pairs(
         # (measured 114M → 86M candidate pairs at sf1, and the stage runs
         # as a shuffled-hash join under the session's
         # preferSortMergeJoin=false: 35s → 11s for join+aggregate).
-        ridx = (
+        ridx_lazy = (
             index.join(rare, "shingle")
             .join(sizes, "doc_id")
             .select("doc_id", "shingle", F.col("sz").alias("__sz"))
-            .localCheckpoint(eager=True)
         )
         # per-doc hot-shingle sets are joined onto the pair table TWICE
         # (doc_a and doc_b sides) — materialize once; hot shingles are few
         # DISTINCT values by definition, so this is doc-count × small-array
-        hot_sets = (
+        hot_lazy = (
             index.join(hot, "shingle")
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("__hsh"))
-            .localCheckpoint(eager=True)
         )
+        # Both materializations depend only on the already-checkpointed
+        # base/dfs — run them CONCURRENTLY (guide §2.6: overlap independent
+        # jobs so the second fills the first's straggler tail) instead of
+        # paying two sequential job latencies per query.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ridx = pool.submit(
+                lambda: ridx_lazy.localCheckpoint(eager=True)
+            )
+            f_hot = pool.submit(
+                lambda: hot_lazy.localCheckpoint(eager=True)
+            )
+            ridx = f_ridx.result()
+            hot_sets = f_hot.result()
         inter_rare = (
             ridx.alias("a")
             .hint("shuffle_hash")
