@@ -91,6 +91,13 @@ def get_spark(
             str(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))),
         )
         .config("spark.sql.files.openCostInBytes", "262144")
+        # r6: materialization barriers (localCheckpoint) free their blocks
+        # only when the ContextCleaner sees the reference die, which needs
+        # a driver GC — the default 30min periodic GC lets a long
+        # multi-query session accumulate dead checkpoint blocks and evict
+        # live ones. One driver GC a minute is noise; reclaiming the
+        # blocks is not.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         # commit uploads changelogs instead of full snapshots — the

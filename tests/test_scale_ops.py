@@ -2100,3 +2100,160 @@ class TestReviewGuards:
         empty = spark.createDataFrame([], "x long, y long")
         with pytest.raises(ValueError, match="empty input"):
             write_zordered(empty, str(tmp_path / "z3"), ["x", "y"])
+
+
+class TestR6Rewrites:
+    """r6 optimization round: the rewritten internals must be value-
+    identical to their original expression/plan forms (the optimization
+    contract — plans may change, results may not)."""
+
+    def test_simhash_expression_twin(self, spark):
+        """The codegen explode+aggregate simhash equals the original
+        60-interpreted-lambda expression build, including empty/null/
+        single-token/repeated-token documents."""
+        from real_time_sliding_window_spark.functions import columns as C
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(7),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "", None, "one", "a b a b a b",
+                    "Punct!! and,, CAPS 42 tokens?",
+                    "x " * 500,
+                ],
+            }
+        )
+        d = spark.createDataFrame(pdf)
+        old = (
+            d.withColumn("__tok", C.tokens("text"))
+            .select(
+                F.col("doc_id"),
+                C.token_hashes60("__tok").alias("__h"),
+                F.size("__tok").cast("long").alias("n_tokens"),
+            )
+            .select("doc_id", C.simhash60("__h").alias("simhash"), "n_tokens")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        new = dedup.simhash_fingerprints(d).toPandas().set_index("doc_id")
+        for i in range(7):
+            assert new.loc[i, "simhash"] == old.loc[i, "simhash"], i
+            assert (
+                pd.isna(new.loc[i, "n_tokens"])
+                and pd.isna(old.loc[i, "n_tokens"])
+            ) or new.loc[i, "n_tokens"] == old.loc[i, "n_tokens"], i
+
+    def test_cm_sketch_pre_agg_identical(self, spark):
+        """pre_agg=True collapses to distinct keys before hashing — cells
+        must be bit-identical to the default path, weighted or not."""
+        from real_time_sliding_window_spark.operators import cm_sketch as CM
+
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"],
+                "w": list(range(76)),
+            }
+        )
+        d = spark.createDataFrame(pdf)
+
+        def cells(df):
+            return sorted(
+                (int(r.r), int(r.c), int(r.cnt)) for r in df.collect()
+            )
+
+        for wcol in (None, "w"):
+            a = CM.cm_sketch(d, "k", depth=3, width=64, weight_col=wcol)
+            b = CM.cm_sketch(
+                d, "k", depth=3, width=64, weight_col=wcol, pre_agg=True
+            )
+            assert cells(a) == cells(b), wcol
+
+    def test_ngram_length_prefilter_no_false_drops(self, spark):
+        """The capped path's length prefilter + best-case-jaccard gate are
+        conservative: on a corpus with strongly varied doc lengths the
+        capped output must still equal the cap-free ground truth when
+        every shingle is under the cap (identity regime)."""
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "text": [
+                    base,                                   # 0
+                    base + " iota",                         # 1: near-dup of 0
+                    (base + " ") * 5 + "omega",             # 2: long superset
+                    "unrelated totally different words here",  # 3
+                    base.replace("alpha", "kappa"),          # 4: near of 0
+                ],
+            }
+        )
+        d = spark.createDataFrame(pdf)
+        key = lambda p: sorted(
+            (int(r.doc_a), int(r.doc_b), int(r.inter), int(r.union_sz))
+            for r in p.itertuples()
+        )
+        free = dedup.ngram_jaccard_pairs(
+            d, min_jaccard=0.3, max_df=None
+        ).toPandas()
+        capped = dedup.ngram_jaccard_pairs(
+            d, min_jaccard=0.3, max_df=100
+        ).toPandas()
+        assert key(free) == key(capped)
+        assert len(capped) > 0  # non-vacuous: some pair passes 0.3
+
+    def test_cosine_topk_expression_twin(self, spark):
+        """numpy-scored cosine_topk equals the JVM-expression build
+        (crossJoin + interpreted int_dot/int_norm) bit for bit."""
+        import numpy as np
+
+        from real_time_sliding_window_spark.functions import columns as C
+        from pyspark.sql.window import Window
+
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [
+                    rng.normal(size=16).astype("float32").tolist()
+                    for _ in range(40)
+                ],
+            }
+        )
+        emb = spark.createDataFrame(pdf)
+        got = (
+            similarity.cosine_topk(emb, query_ids=[1, 5, 9], k=4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        q = emb.select(
+            F.col("vec_id"), C.quantize("embedding").alias("qv")
+        )
+        queries = q.filter(F.col("vec_id").isin([1, 5, 9])).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+        )
+        pairs = F.broadcast(queries).crossJoin(q).filter(
+            F.col("query_id") != F.col("vec_id")
+        )
+        cos = C.int_dot("q_qv", "qv").cast("double") / (
+            C.int_norm("q_qv") * C.int_norm("qv")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        ref = (
+            pairs.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert got[["query_id", "neighbor_id", "rank"]].equals(
+            ref[["query_id", "neighbor_id", "rank"]]
+        )
+        assert (got["cosine"].to_numpy() == ref["cosine"].to_numpy()).all()
