@@ -658,15 +658,34 @@ def simhash_fingerprints(
             "cast(conv(substr(md5(__t), 1, 15), 16, 10) as long)"
         ).alias("__h"),
     )
+    # Two 31-bit count lanes per aggregate (bits j and j+30 share one
+    # int64 accumulator at offsets 0 and 32): halves the aggregate count
+    # (60 → 30) and with it the whole-stage-codegen size — the 61-buffer
+    # variant paid ~2.5 s of first-execution compile. Lane safety is by
+    # construction: per-doc bit counts are ≤ n_tokens < 2^31 (a string
+    # column caps at 2 GB, far under 2^31 single-char tokens), so the low
+    # lane never carries into bit 32 and the high lane never reaches the
+    # sign bit.
+    half = C.SIMHASH_BITS // 2  # 30
     aggs = [
-        F.expr(f"sum(shiftright(__h, {j}) & 1)").alias(f"__b{j}")
-        for j in range(C.SIMHASH_BITS)
+        F.expr(
+            f"sum((shiftright(__h, {j}) & 1)"
+            f" + shiftleft(shiftright(__h, {j + half}) & 1, 32))"
+        ).alias(f"__b{j}")
+        for j in range(half)
     ] + [F.count("__h").alias("__cnt")]
     grouped = rows.groupBy(F.col(id_col), F.col("n_tokens")).agg(*aggs)
+    lane_mask = (1 << 32) - 1
     simhash = F.lit(0).cast("long")
-    for j in range(C.SIMHASH_BITS):
+    for j in range(half):
+        lo = F.col(f"__b{j}").bitwiseAND(F.lit(lane_mask))
+        hi = F.shiftright(F.col(f"__b{j}"), 32)
         simhash = simhash + F.when(
-            F.col(f"__b{j}") * 2 > F.col("__cnt"), F.lit(1 << j).cast("long")
+            lo * 2 > F.col("__cnt"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = simhash + F.when(
+            hi * 2 > F.col("__cnt"),
+            F.lit(1 << (j + half)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     return grouped.select(
         F.col(id_col), simhash.alias("simhash"), "n_tokens"

@@ -110,4 +110,34 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)
+    _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Prefork the Python daemon/worker pool at session startup (r6).
+
+    Python workers are forked lazily at the FIRST Arrow/pandas stage, so
+    whatever query happens to hit the boundary first absorbs the whole
+    pool's spawn (~1-2 s across 32 cores) — a per-session engine cost
+    misattributed to one operator. One trivial one-task-per-core
+    mapInPandas round-trip at startup pays it where it belongs (session
+    init), the same reasoning as warming the JVM before timing queries.
+    Workers are reused afterwards (spark.python.worker.reuse default)."""
+    par = spark.sparkContext.defaultParallelism
+
+    def _identity(it):
+        yield from it
+
+    try:
+        (
+            spark.range(par)
+            .repartition(par)
+            .mapInPandas(_identity, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        # warming is best-effort; a failure here must never block a session
+        pass
