@@ -244,13 +244,12 @@ def ngram_jaccard_pairs(
         # definition, so each doc's set is a small array and the add-on is
         # two doc-id equi-joins + a per-row expression — no hot-key
         # explosion anywhere in the plan.
-        # vocab-sized; materialized because rare/hot each consume it and the
-        # un-reused branches would re-run the corpus-wide df aggregate (r6)
-        dfs = (
-            index.groupBy("shingle")
-            .agg(F.sum("__w8").alias("__df"))
-            .localCheckpoint(eager=True)
-        )
+        # NOT checkpointed (r6, measured): rare/hot both consume the df
+        # aggregate, but its exchange is plan-identical under both and
+        # ReusedExchange shares it within the one action — an eager
+        # barrier here just serializes the pipeline (all-barrier variant
+        # measured 24-25 s vs 19.6 s with the ridx barrier alone at sf1).
+        dfs = index.groupBy("shingle").agg(F.sum("__w8").alias("__df"))
         rare = dfs.filter(F.col("__df") <= max_df).select("shingle")
         hot = dfs.filter(F.col("__df") > max_df).select("shingle")
         # r6: carry each doc's shingle-set size on the rare index rows so
@@ -263,34 +262,21 @@ def ngram_jaccard_pairs(
         # (measured 114M → 86M candidate pairs at sf1, and the stage runs
         # as a shuffled-hash join under the session's
         # preferSortMergeJoin=false: 35s → 11s for join+aggregate).
-        ridx_lazy = (
+        ridx = (
             index.join(rare, "shingle")
             .join(sizes, "doc_id")
             .select("doc_id", "shingle", F.col("sz").alias("__sz"))
+            .localCheckpoint(eager=True)
         )
-        # per-doc hot-shingle sets are joined onto the pair table TWICE
-        # (doc_a and doc_b sides) — materialize once; hot shingles are few
-        # DISTINCT values by definition, so this is doc-count × small-array
-        hot_lazy = (
+        # hot_sets is consumed three ways (the stats table and both
+        # survivor joins) but stays LAZY: the survivor joins touch only
+        # thousands of rows and ReusedExchange shares the aggregate;
+        # an eager barrier here measured net-slower (see dfs note above).
+        hot_sets = (
             index.join(hot, "shingle")
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("__hsh"))
         )
-        # Both materializations depend only on the already-checkpointed
-        # base/dfs — run them CONCURRENTLY (guide §2.6: overlap independent
-        # jobs so the second fills the first's straggler tail) instead of
-        # paying two sequential job latencies per query.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ridx = pool.submit(
-                lambda: ridx_lazy.localCheckpoint(eager=True)
-            )
-            f_hot = pool.submit(
-                lambda: hot_lazy.localCheckpoint(eager=True)
-            )
-            ridx = f_ridx.result()
-            hot_sets = f_hot.result()
         inter_rare = (
             ridx.alias("a")
             .hint("shuffle_hash")
