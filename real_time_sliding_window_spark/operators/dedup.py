@@ -262,10 +262,16 @@ def ngram_jaccard_pairs(
         # (measured 114M → 86M candidate pairs at sf1, and the stage runs
         # as a shuffled-hash join under the session's
         # preferSortMergeJoin=false: 35s → 11s for join+aggregate).
+        # sz rides the explode from the checkpointed base (computed once
+        # per doc BEFORE the explode) instead of a doc_id join-back
+        idx_sz = base.select(
+            "doc_id",
+            F.size("__sh").cast("long").alias("__sz"),
+            F.explode("__sh").alias("shingle"),
+        )
         ridx = (
-            index.join(rare, "shingle")
-            .join(sizes, "doc_id")
-            .select("doc_id", "shingle", F.col("sz").alias("__sz"))
+            idx_sz.join(rare, "shingle")
+            .select("doc_id", "shingle", "__sz")
             .localCheckpoint(eager=True)
         )
         # hot_sets is consumed three ways (the stats table and both
