@@ -410,6 +410,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _driver_components(e2: DataFrame, id_col: str) -> DataFrame:
+    """Union-find over a (bounded, already-materialized) edge frame —
+    the small-graph fast path of ``connected_components``. Returns the
+    (id, cluster_id) frame for edge-incident vertices only, labels = min
+    vertex id per component (identical to the propagation loop's)."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = e2.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[rb] = ra
+    members: dict = {}
+    for r in rows:
+        for v in (r[0], r[1]):
+            members.setdefault(find(v), set()).add(v)
+    labels = []
+    for vs in members.values():
+        m = min(vs)
+        labels.extend((v, m) for v in vs)
+    idt = e2.schema["src"].dataType
+    schema = StructType(
+        [StructField(id_col, idt), StructField("cluster_id", idt)]
+    )
+    return e2.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -417,6 +454,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 50,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Min-label-propagation connected components over an edge list.
 
@@ -429,6 +467,19 @@ def connected_components(
     doesn't grow exponentially (at production scale, checkpoint to reliable
     storage instead).
 
+    ``driver_max_edges`` (r6): near-dup edge lists are usually TINY
+    relative to the corpus (thousands of pairs for tens of thousands of
+    docs), and each distributed round costs several scheduler round-trips
+    — pure overhead on a 3-row graph. When the materialized edge count is
+    within this bound, the component labels are computed with a
+    driver-side union-find over the collected edges instead (bounded
+    driver footprint, the same class as guide §8's "broadcast the plan":
+    200k edges ≈ a few MB; identical labels — min vertex per component,
+    and Python's string ordering equals Spark's UTF-8 binary ordering).
+    Set it to 0 to force the distributed loop; raise it when the driver
+    has headroom. The iterative path is unchanged and takes over beyond
+    the bound, so 100 TB-scale edge lists never touch the driver.
+
     Output: (id_col, cluster_id) — cluster_id = min vertex id in the
     component; deterministic, so DuckDB's recursive-CTE transitive closure
     is an exact oracle.
@@ -440,6 +491,18 @@ def connected_components(
     e2 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if e2.count() <= driver_max_edges:
+        comp = _driver_components(e2, id_col)
+        return (
+            vertices.select(id_col)
+            .join(comp, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                    "cluster_id"
+                ),
+            )
+        )
     sym = e2.union(e2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Only edge-incident vertices can ever change label — iterate over that
     # (typically tiny) subgraph and attach the untouched rest as singleton

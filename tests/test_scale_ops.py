@@ -197,6 +197,12 @@ class TestDedup:
         lab = comp.set_index("doc_id")["cluster_id"]
         assert set(lab[[1, 2, 3, 4]]) == {1}
         assert lab[9] == 9
+        # r6: the driver union-find fast path and the distributed
+        # propagation loop must label identically
+        dist = dedup.connected_components(
+            edges, verts, driver_max_edges=0
+        ).toPandas().set_index("doc_id")["cluster_id"]
+        assert dict(lab) == dict(dist)
 
     def test_connected_components_nonconvergence_raises(self, spark):
         """A component whose diameter exceeds max_iter must FAIL loudly —
@@ -210,10 +216,17 @@ class TestDedup:
             pd.DataFrame({"doc_a": list(range(n)), "doc_b": list(range(1, n + 1))})
         )
         verts = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n + 1))}))
+        # driver_max_edges=0 forces the distributed loop — the max_iter
+        # contract belongs to the iterative path (the driver fast path
+        # resolves any in-bound graph exactly, no rounds to exhaust)
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup.connected_components(edges, verts, max_iter=2)
+            dedup.connected_components(
+                edges, verts, max_iter=2, driver_max_edges=0
+            )
         # and a sufficient budget converges to a single component
-        ok = dedup.connected_components(edges, verts, max_iter=n + 2).toPandas()
+        ok = dedup.connected_components(
+            edges, verts, max_iter=n + 2, driver_max_edges=0
+        ).toPandas()
         assert set(ok["cluster_id"]) == {0}
 
     def test_simhash_fingerprints(self, docs, spark):
