@@ -136,21 +136,71 @@ def cm_inner_product(
     the whole estimate costs O(sketch), never O(data): the planner-side
     join-size oracle a 100 TB optimizer wants BEFORE committing to a
     shuffle strategy."""
-    joined = sketch_a.alias("a").join(
-        F.broadcast(sketch_b.alias("b")), ["r", "c"]
+    # Full-outer cell join (advice r5): same dot products as the inner
+    # join (cells present on one side only multiply by 0), but the
+    # per-row frame now covers every r populated in EITHER sketch, which
+    # lets the depth validation below ride the SAME single pass — no
+    # second consumer of either sketch, so no re-run of the (possibly
+    # corpus-sized) sketch-build pipelines. The join itself stays
+    # sketch-sized (≤ depth×width rows per side).
+    cells = sketch_a.alias("a").join(
+        sketch_b.alias("b"), ["r", "c"], "full_outer"
     )
-    per_row = joined.groupBy("r").agg(
-        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")
+    per_row = cells.groupBy("r").agg(
+        F.sum(
+            F.coalesce(F.col("a.cnt"), F.lit(0))
+            * F.coalesce(F.col("b.cnt"), F.lit(0))
+        ).alias("dot"),
+        F.max(
+            F.when(F.col("a.cnt").isNotNull(), 1).otherwise(0)
+        ).alias("__has_a"),
+        F.max(
+            F.when(F.col("b.cnt").isNotNull(), 1).otherwise(0)
+        ).alias("__has_b"),
     )
     # a row with NO overlapping cells has dot = 0 and must reach the
     # min (it proves the true product is 0) — spine over all depth rows
     spine = sketch_a.sparkSession.range(depth).select(
-        F.col("id").cast("int").alias("r")
+        F.col("id").cast("int").alias("r"), F.lit(True).alias("__sp")
     )
-    full = spine.join(per_row, "r", "left").select(
-        F.coalesce(F.col("dot"), F.lit(0).cast("long")).alias("dot")
+    full = spine.join(per_row, "r", "full_outer")
+    est = full.agg(
+        F.min(
+            F.when(
+                F.col("__sp"), F.coalesce(F.col("dot"), F.lit(0).cast("long"))
+            )
+        ).alias("est_join_size"),
+        # depth validation: every inserted key lands in a bucket of EVERY
+        # row, so a non-empty sketch populates r = 0..build_depth−1
+        # exactly. Caller depth above the build depth used to inject
+        # all-zero spine rows (est silently 0); below, it silently
+        # ignored rows. Either way the per-side populated-row count is
+        # neither 0 (empty sketch — fine, est 0) nor depth — asserted
+        # in-plan, zero extra actions.
+        F.count(F.when(F.col("__sp").isNull(), 1)).alias("__extra"),
+        F.count(F.when(F.col("__has_a") == 1, 1)).alias("__na"),
+        F.count(F.when(F.col("__has_b") == 1, 1)).alias("__nb"),
     )
-    return full.agg(F.min("dot").alias("est_join_size"))
+    return est.select(
+        F.when(
+            F.assert_true(
+                (F.col("__extra") == 0)
+                & F.col("__na").isin(0, depth)
+                & F.col("__nb").isin(0, depth),
+                F.concat(
+                    F.lit(
+                        "cm_inner_product: sketch depth mismatch — caller "
+                        f"depth={depth} but sketches populate "
+                    ),
+                    F.col("__na").cast("string"),
+                    F.lit(" / "),
+                    F.col("__nb").cast("string"),
+                    F.lit(" rows"),
+                ),
+            ).isNull(),
+            F.col("est_join_size"),
+        ).alias("est_join_size")
+    )
 
 
 def cm_estimate(

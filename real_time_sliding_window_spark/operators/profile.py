@@ -33,24 +33,38 @@ def profile_columns(
     """
     if not cols:
         raise ValueError("profile_columns: need at least one column")
+    # Hostile-name safety (advice r5): column names reach generated SQL
+    # twice — as the stack() row literal and as references to the wide
+    # aggregate's columns. References use POSITIONAL sanitized aliases
+    # (__n_0, ...) so the name never parses as an identifier, and the
+    # literal escapes backslash + quote; the aggregate inputs are
+    # backtick-quoted with doubled inner backticks (bare F.col("a.b")
+    # would parse the dot as a struct access). Output values are
+    # byte-identical for well-formed names.
+    def _ref(c: str) -> F.Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    edf = ensure_parallelism(df)
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         nd = (
-            F.count_distinct(F.col(c))
+            F.count_distinct(_ref(c))
             if exact_distinct
-            else F.approx_count_distinct(c)
+            else F.approx_count_distinct(_ref(c))
         )
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
-            nd.cast("long").alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.count(F.when(_ref(c).isNull(), 1)).alias(f"__null_{i}"),
+            nd.cast("long").alias(f"__nd_{i}"),
+            F.min(_ref(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_ref(c)).cast("string").alias(f"__max_{i}"),
         ]
-    wide = ensure_parallelism(df).agg(*aggs)
+    wide = edf.agg(*aggs)
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     stacked = ", ".join(
-        f"'{c}', __n_{c}, __null_{c}, __nd_{c}, __min_{c}, __max_{c}"
-        for c in cols
+        f"{_lit(c)}, __n_{i}, __null_{i}, __nd_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

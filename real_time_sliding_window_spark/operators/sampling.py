@@ -456,8 +456,14 @@ def groupwise_bottomk_sample(
       group_col, so k rows per group per input partition is all that
       moves (plan-pinned in test_plans.py).
 
-    Ties (two keys with equal md5 — i.e. equal keys) break by the raw
-    key, keeping row_number deterministic.
+    Determinism contract (advice r5): ``key_col`` must be UNIQUE per row
+    within each group. Two rows with equal keys have identical (md5, key)
+    sort values, so row_number ranks them arbitrarily and which physical
+    row survives ``rank <= k`` may vary across runs/partitionings (the
+    secondary ``key_col`` sort breaks nothing there — equal-md5 ties ARE
+    equal keys). With unique keys the order is total and the draw is
+    engine-stable; callers sampling by a non-unique column should pass a
+    unique key (e.g. the row id) or accept run-dependent tie picks.
     """
     from pyspark.sql.window import Window
 

@@ -159,6 +159,19 @@ class BucketedIndexSink:
     duplicate-NEUTRAL (a band row's presence, not its multiplicity,
     drives accept/reject) — ``read_batch`` callers take ``distinct()``.
 
+    Duplicate-neutrality extends to ``read_committed`` CONSUMERS
+    (advice r5): presence-based probes (the guards' band-adjacency
+    join) are unaffected, but row-COUNTING consumers — the guards'
+    occupancy fallback that re-aggregates ``index_bands`` when no
+    occupancy sink is wired — would over-count a torn batch's
+    duplicated rows until the next ``compact()``, which now
+    ``distinct()``s the accumulated rows and heals them (index rows
+    are unique by construction otherwise). Between the torn retry and
+    that compaction the inflation is bounded by one batch and errs
+    CONSERVATIVE for the cap (inflated occupancy can only mark extra
+    buckets hot, skipping candidate pairs — never dropping a doc from
+    the acceptance universe).
+
     Operational note: each append writes ``n_buckets`` files (the writer
     repartitions on the bucket keys first), so file count grows
     n_buckets x n_batches; ``compact()`` rewrites the accumulated rows as
@@ -262,7 +275,14 @@ class BucketedIndexSink:
         rows = spark.read.parquet(self.data_dir).filter(
             F.col("batch_id") <= max(batches)
         )
-        self._write(rows, new_table, new_dir)
+        # heal torn-retry duplicates (advice r5): a crash between the
+        # table append and the marker rename followed by a re-append
+        # leaves one batch's rows twice under the same batch_id. Index
+        # rows are unique by construction otherwise, so distinct() here
+        # removes exactly those duplicates — at compaction time, off the
+        # per-batch hot path — after which row-COUNTING consumers (the
+        # guards' occupancy fallback) are exact again.
+        self._write(rows.distinct(), new_table, new_dir)
         tmp = os.path.join(self.root, "GENERATION.tmp")
         with open(tmp, "w") as f:
             f.write(str(new_gen))

@@ -1680,6 +1680,35 @@ class TestProfile:
         with _pytest.raises(ValueError, match="at least one column"):
             profile_columns(spark.range(1), [])
 
+    def test_hostile_column_names(self, spark):
+        """Advice r5: names containing quotes/spaces/dots/backticks reach
+        generated SQL — positional aliases + escaped literals keep them
+        working, with the raw name reproduced in the output column."""
+        from pyspark.sql import functions as F
+
+        from real_time_sliding_window_spark.operators.profile import (
+            profile_columns,
+        )
+
+        names = ["a b", "a'b", "a.b", "a`b", "a\\b"]
+        df = spark.range(60).select(
+            F.col("id").alias(names[0]),
+            (F.col("id") % 3).alias(names[1]),
+            (F.col("id") % 5).alias(names[2]),
+            (F.col("id") % 2).alias(names[3]),
+            (F.col("id") % 4).alias(names[4]),
+        )
+        got = {
+            r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+            for r in profile_columns(df, names).collect()
+        }
+        assert set(got) == set(names)
+        assert got["a b"] == (60, 0, 60)
+        assert got["a'b"] == (60, 0, 3)
+        assert got["a.b"] == (60, 0, 5)
+        assert got["a`b"] == (60, 0, 2)
+        assert got["a\\b"] == (60, 0, 4)
+
 
 class TestCountMin:
     """operators/cm_sketch.py — over-estimate bound, exact additivity,
@@ -2017,6 +2046,33 @@ class TestCmInnerProduct:
         ).collect()[0].est_join_size
         # 40x40 keys in 1024 buckets: min over 4 rows is ~always 0
         assert 0 <= est <= 4
+
+    def test_depth_mismatch_raises(self, spark):
+        """Advice r5: a caller depth above the build depth used to inject
+        all-zero spine rows (silent est=0); below, it silently ignored
+        rows. Both now fail loudly; the matched depth is unchanged."""
+        import pytest as _pytest
+
+        from real_time_sliding_window_spark.operators.cm_sketch import (
+            cm_inner_product,
+            cm_sketch,
+        )
+
+        dfa = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c"] * 5}))
+        dfb = spark.createDataFrame(pd.DataFrame({"k": ["b", "c", "d"] * 7}))
+        sa = cm_sketch(dfa, "k", depth=4, width=64)
+        sb = cm_sketch(dfb, "k", depth=4, width=64)
+        ok = cm_inner_product(sa, sb, depth=4).collect()[0].est_join_size
+        assert ok >= dfa.join(dfb, "k").count()
+        for bad in (6, 2):
+            with _pytest.raises(Exception, match="depth mismatch"):
+                cm_inner_product(sa, sb, depth=bad).collect()
+        # empty sketches stay valid (no rows to contradict any depth)
+        empty = cm_sketch(dfa.filter("k = 'zz'"), "k", depth=4, width=64)
+        assert (
+            cm_inner_product(empty, sb, depth=4).collect()[0].est_join_size
+            == 0
+        )
 
 
 class TestPageRank:

@@ -1572,6 +1572,53 @@ class TestNearDupIngestGuard:
             spark.sql("DROP TABLE IF EXISTS cp_idx_table")
             spark.sql("DROP TABLE IF EXISTS cp_idx_table_g1")
 
+    def test_compact_heals_torn_retry_duplicates(self, spark, tmp_path):
+        """Advice r5: a crash between the table append and the marker
+        rename, followed by a retry's second append, duplicates one
+        batch's rows under the same batch_id. Presence-based probes are
+        unaffected, but row-COUNTING read_committed consumers (the
+        guards' occupancy fallback) would over-count — compact() now
+        distinct()s the accumulated rows, restoring exact counts while
+        preserving batch_id readback."""
+        from pyspark.sql import functions as SF
+
+        from real_time_sliding_window_spark.streaming.sink import (
+            BucketedIndexSink,
+        )
+
+        idx = BucketedIndexSink(
+            str(tmp_path / "tr_idx"), "tr_idx_table",
+            keys=["band_idx", "band_val"], n_buckets=2,
+        )
+        rows = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": ["d0", "d1"],
+                "band_idx": [0, 0],
+                "band_val": [7, 9],
+            })
+        )
+        try:
+            # torn retry: first append lands in the table but the crash
+            # happens before the marker rename ...
+            idx._write(
+                rows.withColumn("batch_id", SF.lit(0)),
+                idx.table, idx.data_dir,
+            )
+            # ... and the retry re-appends the same batch and commits
+            idx.write_batch(rows, 0)
+            torn = idx.read_committed(spark, with_batch_id=True)
+            assert torn.count() == 4  # duplicated — the advice's hazard
+            assert idx.compact(spark) == 1
+            healed = idx.read_committed(spark, with_batch_id=True)
+            assert healed.count() == 2
+            assert sorted(
+                map(tuple, healed.toPandas().itertuples(index=False))
+            ) == [("d0", 0, 7, 0), ("d1", 0, 9, 0)]
+            assert idx.read_batch(spark, 0).count() == 2
+        finally:
+            spark.sql("DROP TABLE IF EXISTS tr_idx_table")
+            spark.sql("DROP TABLE IF EXISTS tr_idx_table_g1")
+
     def test_occupancy_increment_log_parity_and_backfill(self, spark,
                                                          tmp_path):
         """r5: with occupancy_sink wired, the hot-bucket cap computed
